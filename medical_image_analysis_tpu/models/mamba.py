@@ -1,0 +1,290 @@
+"""Mamba mixer, block, and the ARM vision backbone (TPU-native).
+
+Re-designs the reference's ``Mamba``/``ARM``
+(``/root/reference/CXPMRG_Bench_MambaXray_VL/arm/Finetuning/mamba_simple.py:36-716``,
+``models_mamba.py:215-436``) on top of the Pallas selective-scan kernel:
+
+- All K scan directions (bimamba v3: forward, backward, column-major
+  forward/backward with middle-cls splicing) run in ONE kernel launch
+  via :func:`selective_scan_dirs` (direction folded into batch) and one
+  fused causal depthwise conv (direction folded into channels) —
+  instead of the reference's four sequential CUDA calls.
+- Per-direction gating ``y * silu(z)`` commutes with the flip/transpose
+  permutations, so the gate is applied once after merging directions
+  (algebraically identical to the reference, fewer elementwise passes).
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.causal_conv import causal_conv1d
+from ..ops.selective_scan import selective_scan_ref
+from ..ops.selective_scan_pallas import selective_scan_dirs
+from .common import (
+    DropPath,
+    PatchEmbed,
+    insert_token,
+    spatial_transpose_with_cls,
+    trunc_normal_init,
+)
+
+_NUM_DIRS = {"none": 1, "v2": 2, "v3": 4}
+
+
+def _dt_bias_init(dt_min, dt_max, floor):
+    def init(key, shape, dtype=jnp.float32):
+        u = jax.random.uniform(key, shape, jnp.float32)
+        dt = jnp.exp(u * (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
+        dt = jnp.maximum(dt, floor)
+        # softplus^-1 so that softplus(bias) lands in [dt_min, dt_max].
+        return (dt + jnp.log(-jnp.expm1(-dt))).astype(dtype)
+
+    return init
+
+
+def _uniform_init(scale):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+    return init
+
+
+def _a_log_init(key, shape, dtype=jnp.float32):
+    # S4D-real: A[d, n] = -(n + 1); stored as log.
+    n = shape[-1]
+    a = jnp.broadcast_to(jnp.arange(1, n + 1, dtype=jnp.float32), shape)
+    return jnp.log(a).astype(dtype)
+
+
+class MambaMixer(nn.Module):
+    """Selective-state-space mixer with 1/2/4-directional scans."""
+
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    dt_rank: int = 0  # 0 = ceil(d_model / 16)
+    bimamba_type: str = "none"  # none | v2 | v3
+    if_devide_out: bool = False
+    dt_min: float = 1e-3
+    dt_max: float = 0.1
+    dt_init_floor: float = 1e-4
+    conv_bias: bool = True
+    proj_bias: bool = False
+    scan_backend: str = "auto"  # auto | pallas | ref
+
+    @nn.compact
+    def __call__(self, x: jax.Array, cls_pos: int | None = None) -> jax.Array:
+        d_inner = self.expand * self.d_model
+        rank = self.dt_rank or math.ceil(self.d_model / 16)
+        n = self.d_state
+        k = _NUM_DIRS[self.bimamba_type]
+        b, l, _ = x.shape
+
+        xz = nn.Dense(2 * d_inner, use_bias=self.proj_bias, name="in_proj")(x)
+        xi, z = jnp.split(xz, 2, axis=-1)
+
+        seqs = [xi]
+        if k >= 2:
+            seqs.append(jnp.flip(xi, axis=1))
+        if k == 4:
+            if cls_pos is not None:
+                xc = spatial_transpose_with_cls(xi, cls_pos)
+            else:
+                s = int(round(l**0.5))
+                assert s * s == l, "v3 column scan needs square token grid"
+                xc = (
+                    xi.reshape(b, s, s, d_inner)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(b, l, d_inner)
+                )
+            seqs += [xc, jnp.flip(xc, axis=1)]
+        x_dirs = jnp.stack(seqs, axis=1)  # (B, K, L, Din)
+
+        conv_w = self.param(
+            "conv_w", _uniform_init(self.d_conv**-0.5), (k, self.d_conv, d_inner)
+        )
+        conv_b = (
+            self.param(
+                "conv_b", _uniform_init(self.d_conv**-0.5), (k, d_inner)
+            )
+            if self.conv_bias
+            else None
+        )
+        # One fused causal conv over all directions: direction -> channels.
+        xcf = x_dirs.transpose(0, 2, 1, 3).reshape(b, l, k * d_inner)
+        wcf = conv_w.transpose(1, 0, 2).reshape(self.d_conv, k * d_inner)
+        bcf = None if conv_b is None else conv_b.reshape(k * d_inner)
+        h = causal_conv1d(xcf, wcf, bcf, activation="silu")
+        h = h.reshape(b, l, k, d_inner).transpose(0, 2, 1, 3)
+
+        x_proj_w = self.param(
+            "x_proj_w",
+            _uniform_init(d_inner**-0.5),
+            (k, rank + 2 * n, d_inner),
+        )
+        dt_proj_w = self.param(
+            "dt_proj_w", _uniform_init(rank**-0.5), (k, d_inner, rank)
+        )
+        dt_bias = self.param(
+            "dt_bias",
+            _dt_bias_init(self.dt_min, self.dt_max, self.dt_init_floor),
+            (k, d_inner),
+        )
+        a_log = self.param("A_log", _a_log_init, (k, d_inner, n))
+        d_skip = self.param("D", nn.initializers.ones, (k, d_inner))
+
+        x_dbl = jnp.einsum("bkld,kcd->bklc", h, x_proj_w)
+        dt_r = x_dbl[..., :rank]
+        bmat = x_dbl[..., rank : rank + n]
+        cmat = x_dbl[..., rank + n :]
+        dt = jnp.einsum("bklr,kdr->bkld", dt_r, dt_proj_w)
+        a = -jnp.exp(a_log.astype(jnp.float32))
+
+        backend = self.scan_backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "ref"
+        if backend == "pallas":
+            y_dirs = selective_scan_dirs(
+                h, dt, a, bmat, cmat, d_skip, dt_bias, delta_softplus=True
+            )
+        else:
+            ys = [
+                selective_scan_ref(
+                    h[:, i], dt[:, i], a[i], bmat[:, i], cmat[:, i],
+                    d_skip[i], dt_bias[i], delta_softplus=True,
+                )
+                for i in range(k)
+            ]
+            y_dirs = jnp.stack(ys, axis=1)
+
+        y = y_dirs[:, 0]
+        if k >= 2:
+            y = y + jnp.flip(y_dirs[:, 1], axis=1)
+        if k == 4:
+            yc = y_dirs[:, 2] + jnp.flip(y_dirs[:, 3], axis=1)
+            if cls_pos is not None:
+                yc = spatial_transpose_with_cls(yc, cls_pos)
+            else:
+                s = int(round(l**0.5))
+                yc = (
+                    yc.reshape(b, s, s, d_inner)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(b, l, d_inner)
+                )
+            y = y + yc
+        y = y * nn.silu(z)
+        if self.if_devide_out and k > 1:
+            y = y / k
+        return nn.Dense(self.d_model, use_bias=self.proj_bias, name="out_proj")(y)
+
+
+class MambaBlock(nn.Module):
+    """Pre-norm residual Mamba block (reference create_block/Block)."""
+
+    d_model: int
+    d_state: int = 16
+    expand: int = 2
+    bimamba_type: str = "none"
+    if_devide_out: bool = False
+    rms_norm: bool = True
+    norm_eps: float = 1e-5
+    residual_in_fp32: bool = True
+    drop_path: float = 0.0
+    scan_backend: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        cls_pos: int | None = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        residual = x.astype(jnp.float32) if self.residual_in_fp32 else x
+        norm = (
+            nn.RMSNorm(epsilon=self.norm_eps, name="norm")
+            if self.rms_norm
+            else nn.LayerNorm(epsilon=self.norm_eps, name="norm")
+        )
+        y = MambaMixer(
+            d_model=self.d_model,
+            d_state=self.d_state,
+            expand=self.expand,
+            bimamba_type=self.bimamba_type,
+            if_devide_out=self.if_devide_out,
+            scan_backend=self.scan_backend,
+            name="mixer",
+        )(norm(x), cls_pos)
+        y = DropPath(self.drop_path, name="drop_path")(y, deterministic)
+        out = residual + y.astype(residual.dtype)
+        return out.astype(x.dtype)
+
+
+class ARM(nn.Module):
+    """Vim-style flat Mamba vision encoder with middle cls token.
+
+    Reference: ``arm/Finetuning/models_mamba.py:215-436`` (registry
+    arm_base_pz16 d768x12 / arm_large_pz16 d1024x24 / arm_huge_pz16
+    d1536x24, all bimamba v3, middle cls, abs pos embed).
+
+    Returns the full token sequence (B, num_patches + 1, D) after the
+    final LayerNorm; callers pool or index (cls at ``num_patches // 2``).
+    """
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    d_state: int = 16
+    bimamba_type: str = "v3"
+    if_devide_out: bool = True
+    rms_norm: bool = True
+    drop_path_rate: float = 0.1
+    scan_backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = PatchEmbed(self.patch_size, self.embed_dim, name="patch_embed")(x)
+        b, m, d = x.shape
+        pos = m // 2
+        cls = self.param("cls_token", trunc_normal_init, (1, 1, d))
+        x = insert_token(x, jnp.broadcast_to(cls, (b, 1, d)).astype(x.dtype), pos)
+        pos_embed = self.param("pos_embed", trunc_normal_init, (1, m + 1, d))
+        x = x + pos_embed.astype(x.dtype)
+        dpr = [
+            self.drop_path_rate * i / max(self.depth - 1, 1)
+            for i in range(self.depth)
+        ]
+        for i in range(self.depth):
+            x = MambaBlock(
+                d_model=self.embed_dim,
+                d_state=self.d_state,
+                bimamba_type=self.bimamba_type,
+                if_devide_out=self.if_devide_out,
+                rms_norm=self.rms_norm,
+                drop_path=dpr[i],
+                scan_backend=self.scan_backend,
+                name=f"layers_{i}",
+            )(x, cls_pos=pos, deterministic=deterministic)
+        return nn.LayerNorm(name="norm_f")(x)
+
+
+def arm_cls_index(num_patches: int) -> int:
+    return num_patches // 2
+
+
+ARM_CONFIGS = {
+    "arm_base_pz16": dict(patch_size=16, embed_dim=768, depth=12),
+    "arm_large_pz16": dict(patch_size=16, embed_dim=1024, depth=24),
+    "arm_huge_pz16": dict(patch_size=16, embed_dim=1536, depth=24),
+}
+
+
+def build_arm(name: str, **overrides) -> ARM:
+    cfg = dict(ARM_CONFIGS[name])
+    cfg.update(overrides)
+    return ARM(**cfg)
