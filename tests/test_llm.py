@@ -1,0 +1,153 @@
+"""LLM decoder: HF Llama parity (logits + generation) and cache math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medical_image_analysis_tpu.models.llm import (
+    LLMConfig,
+    TransformerLM,
+    init_cache,
+    reorder_cache,
+)
+from medical_image_analysis_tpu.models.generation import (
+    beam_generate,
+    greedy_generate,
+)
+from medical_image_analysis_tpu.ckpt.torch_import import llama_hf_to_flax
+
+CFG = LLMConfig(
+    vocab_size=128, dim=64, n_layers=2, n_heads=4, n_kv_heads=4,
+    hidden_dim=128, dtype=jnp.float32, norm_eps=1e-6,  # HF test default
+)
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = LlamaConfig(
+        vocab_size=CFG.vocab_size, hidden_size=CFG.dim,
+        num_hidden_layers=CFG.n_layers, num_attention_heads=CFG.n_heads,
+        num_key_value_heads=CFG.n_kv_heads, intermediate_size=CFG.hidden_dim,
+        max_position_embeddings=512,
+    )
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    if "lm_head.weight" not in sd:  # tied weights
+        sd["lm_head.weight"] = sd["model.embed_tokens.weight"]
+    params = llama_hf_to_flax(sd, CFG.n_layers)
+    return hf, params
+
+
+def test_logits_match_hf(hf_pair):
+    import torch
+
+    hf, params = hf_pair
+    model = TransformerLM(CFG)
+    ids = np.array([[3, 17, 92, 5, 44, 101], [8, 2, 63, 77, 15, 99]])
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    ours = np.asarray(model.apply(params, input_ids=jnp.asarray(ids)))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_cached_decode_matches_uncached(hf_pair):
+    _, params = hf_pair
+    model = TransformerLM(CFG)
+    ids = jnp.array([[3, 17, 92, 5, 44, 101]])
+    full = model.apply(params, input_ids=ids)
+
+    cache = init_cache(CFG, 1, 16, dtype=jnp.float32)
+    logits_p, cache = model.apply(
+        params, input_ids=ids[:, :4],
+        positions=jnp.arange(4)[None], cache=cache,
+    )
+    logits_s = []
+    for t in range(4, 6):
+        lg, cache = model.apply(
+            params, input_ids=ids[:, t : t + 1],
+            positions=jnp.full((1, 1), t), cache=cache,
+        )
+        logits_s.append(lg[:, 0])
+    np.testing.assert_allclose(
+        np.asarray(logits_p[:, -1]), np.asarray(full[:, 3]), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_s[0]), np.asarray(full[:, 4]), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_s[1]), np.asarray(full[:, 5]), rtol=1e-4, atol=1e-4
+    )
+
+
+def _decode_step_fn(model, params, prompt_len):
+    def step(tokens, cache, t):
+        pos = jnp.full((tokens.shape[0], 1), 0) + prompt_len + t
+        logits, cache = model.apply(
+            params, input_ids=tokens, positions=pos, cache=cache
+        )
+        return logits[:, 0], cache
+
+    return step
+
+
+def test_greedy_matches_hf(hf_pair):
+    import torch
+
+    hf, params = hf_pair
+    model = TransformerLM(CFG)
+    ids = np.array([[3, 17, 92, 5], [9, 41, 7, 66]])
+    eos = 2
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor(ids), max_new_tokens=8, min_new_tokens=8,
+            num_beams=1, do_sample=False, eos_token_id=eos,
+            pad_token_id=eos,
+        ).numpy()[:, 4:]
+
+    cache = init_cache(CFG, 2, 32, dtype=jnp.float32)
+    first, cache = model.apply(
+        params, input_ids=jnp.asarray(ids),
+        positions=jnp.broadcast_to(jnp.arange(4), (2, 4)), cache=cache,
+    )
+    out = greedy_generate(
+        _decode_step_fn(model, params, 4), cache, first[:, -1],
+        max_new_tokens=8, eos_id=eos, min_new_tokens=8,
+    )
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_beam_matches_hf(hf_pair):
+    import torch
+
+    hf, params = hf_pair
+    model = TransformerLM(CFG)
+    ids = np.array([[3, 17, 92, 5]])
+    eos = 2
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor(ids), max_new_tokens=8, min_new_tokens=2,
+            num_beams=3, do_sample=False, eos_token_id=eos,
+            pad_token_id=eos, repetition_penalty=2.0, length_penalty=2.0,
+            early_stopping=True,
+        ).numpy()[:, 4:]
+
+    nb = 3
+    cache = init_cache(CFG, nb, 32, dtype=jnp.float32)
+    ids_rep = jnp.repeat(jnp.asarray(ids), nb, axis=0)
+    first, cache = model.apply(
+        params, input_ids=ids_rep,
+        positions=jnp.broadcast_to(jnp.arange(4), (nb, 4)), cache=cache,
+    )
+    out = beam_generate(
+        _decode_step_fn(model, params, 4), cache, first[:, -1],
+        batch=1, num_beams=nb, max_new_tokens=8, eos_id=eos,
+        min_new_tokens=2, repetition_penalty=2.0, length_penalty=2.0,
+        reorder_cache_fn=reorder_cache,
+    )
+    out = np.asarray(out)[:, : ref.shape[1]]
+    np.testing.assert_array_equal(out, ref)
