@@ -1,0 +1,53 @@
+"""Disease-prediction classifiers + losses.
+
+- :class:`DPClassifier`: ViT encoder + multi-attribute head with weighted
+  sigmoid BCE (reference ``HD_Xray_Pretrain_MAE/finetune/DP/train.py:23-200``,
+  ``models/base_block.py``; pedestrian-attribute-style training).
+- :func:`swinchex_loss`: sum of 14 per-head 2-way cross-entropies
+  (``AM_MRG/SwinCheX/main.py:175-268``). The model is
+  :class:`..models.swin.SwinCheX`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .vit import ViT
+
+
+class DPClassifier(nn.Module):
+    """ViT global-pool + per-attribute linear head -> (B, num_attrs)."""
+
+    num_attrs: int = 14
+    vit_kwargs: Any = None
+
+    def setup(self):
+        self.encoder = ViT(**(self.vit_kwargs or {}), name="encoder")
+        self.head = nn.Dense(self.num_attrs, name="head")
+
+    def __call__(self, images, deterministic=True):
+        tokens = self.encoder(images, deterministic)
+        pooled = tokens[:, 1:].mean(axis=1)  # global pool over patches
+        return self.head(pooled)
+
+
+def weighted_bce_loss(logits, labels, sample_weight=None):
+    """Sigmoid BCE with optional per-attribute positive weighting
+    (DP tools/function.py ratio2weight-style)."""
+    logp = jax.nn.log_sigmoid(logits)
+    lognp = jax.nn.log_sigmoid(-logits)
+    loss = -(labels * logp + (1.0 - labels) * lognp)
+    if sample_weight is not None:
+        loss = loss * sample_weight
+    return loss.mean()
+
+
+def swinchex_loss(logits, labels):
+    """logits (B, C, 2), labels (B, C) in {0,1}: sum of per-head CEs."""
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(lp, labels[..., None].astype(jnp.int32), axis=-1)
+    return -ll[..., 0].mean(axis=0).sum()

@@ -119,3 +119,93 @@ class HybridDecoderLayer(nn.Module):
         x = x + attn_out
         h = nn.RMSNorm(epsilon=cfg.norm_eps, name="post_attention_layernorm")(x)
         return x + LlamaMLP(cfg, name="mlp")(h), new_cache
+
+
+class HybridTransformerLM(nn.Module):
+    """TransformerLM where every ``cross_every``-th layer is hybrid
+    (vision cross-attention), mirroring EMRRG's
+    ``_initialize_hybrid_decoder_layers``
+    (``EMRRG/models/MambaXrayVL_DownStream.py:176-208``).
+
+    Same call convention as :class:`..llm.TransformerLM` plus a required
+    ``vision`` argument (B, Lv, dim).
+    """
+
+    cfg: LLMConfig
+    cross_every: int = 4
+    gate_fn: str = "tanh"
+    text_only_cross: bool = False
+
+    def setup(self):
+        from .llm import LlamaBlock  # avoid cycle at module import
+
+        cfg = self.cfg
+        layers = []
+        for i in range(cfg.n_layers):
+            if (i + 1) % self.cross_every == 0:
+                layers.append(
+                    HybridDecoderLayer(
+                        cfg, self.gate_fn, self.text_only_cross,
+                        name=f"layers_{i}",
+                    )
+                )
+            else:
+                layers.append(LlamaBlock(cfg, name=f"layers_{i}"))
+        self.layers = layers
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size, cfg.dim, dtype=cfg.dtype, name="embed_tokens"
+        )
+        self.final_norm = nn.RMSNorm(epsilon=cfg.norm_eps, name="norm")
+        self.lm_head = nn.Dense(
+            cfg.vocab_size, use_bias=False, dtype=jnp.float32, name="lm_head"
+        )
+
+    def embed(self, input_ids):
+        return self.embed_tokens(input_ids)
+
+    def __call__(self, input_ids=None, inputs_embeds=None, vision=None,
+                 attention_mask=None, positions=None, cache=None,
+                 cache_mask=None, text_mask=None):
+        cfg = self.cfg
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_tokens(input_ids)
+        x = inputs_embeds.astype(cfg.dtype)
+        b, l, _ = x.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(l), (b, l))
+
+        if cache is not None:
+            cur = cache[0][2]
+            s = cache[0][0].shape[1]
+            kpos = jnp.arange(s)[None, None, :]
+            slot_ok = kpos <= (cur + jnp.arange(l)[None, :, None])
+            mask = jnp.where(slot_ok, 0.0, -jnp.inf)
+            if cache_mask is not None:
+                mask = mask + jnp.where(
+                    cache_mask[:, None, :] > 0, 0.0, -jnp.inf
+                )
+            mask = mask[:, None, :, :]
+        else:
+            causal = jnp.tril(jnp.ones((l, l), jnp.bool_))
+            mask = jnp.where(causal[None, None], 0.0, -jnp.inf)
+            if attention_mask is not None:
+                mask = mask + jnp.where(
+                    attention_mask[:, None, None, :] > 0, 0.0, -jnp.inf
+                )
+
+        new_cache = [] if cache is not None else None
+        for i, layer in enumerate(self.layers):
+            layer_cache = cache[i] if cache is not None else None
+            if isinstance(layer, HybridDecoderLayer):
+                x, lc = layer(x, positions, mask, vision, layer_cache,
+                              text_mask)
+            else:
+                x, lc = layer(x, positions, mask, layer_cache)
+            if new_cache is not None:
+                new_cache.append(lc)
+
+        x = self.final_norm(x)
+        logits = self.lm_head(x.astype(jnp.float32))
+        if cache is not None:
+            return logits, new_cache
+        return logits

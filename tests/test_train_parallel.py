@@ -1,0 +1,175 @@
+"""Mesh/sharded train step, optimizers, LoRA, checkpoints."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from medical_image_analysis_tpu.ckpt.checkpoint import (
+    delta_filename,
+    load_delta,
+    merge_delta,
+    save_delta,
+)
+from medical_image_analysis_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+)
+from medical_image_analysis_tpu.peft.lora import (
+    LoRARule,
+    apply_lora,
+    init_lora,
+    llama_qv_rules,
+    mamba_partial_x_rules,
+)
+from medical_image_analysis_tpu.train.optim import (
+    layer_decay_scales,
+    make_adamw,
+    no_decay_mask,
+    scaled_lr,
+    warmup_cosine,
+)
+from medical_image_analysis_tpu.train.train_state import (
+    TrainState,
+    make_train_step,
+)
+
+
+def _toy_params():
+    return {
+        "dense": {"kernel": jnp.ones((4, 8)), "bias": jnp.zeros((8,))},
+        "norm": {"scale": jnp.ones((8,))},
+        "layers_3": {"self_attn": {"q_proj": {"kernel": jnp.ones((8, 8))}}},
+    }
+
+
+def test_no_decay_mask():
+    mask = no_decay_mask(_toy_params())
+    assert mask["dense"]["kernel"] is True
+    assert mask["dense"]["bias"] is False
+    assert mask["norm"]["scale"] is False
+
+
+def test_layer_decay_scales():
+    s = layer_decay_scales(_toy_params(), 0.5, 4)
+    assert s["layers_3"]["self_attn"]["q_proj"]["kernel"] == 0.5  # 0.5^(5-4)
+    assert s["dense"]["kernel"] == 0.5**5
+
+
+def test_scaled_lr():
+    assert scaled_lr(1.5e-4, 512) == pytest.approx(3e-4)
+
+
+def test_sharded_train_step_on_mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(data=8)
+
+    def fresh_params():
+        # per-state copies: the jitted step donates its input state.
+        return {"w": jnp.ones((4,))}
+
+    params = fresh_params()
+
+    def loss_fn(params, batch, rng):
+        pred = batch["x"] @ params["w"]
+        return jnp.mean((pred - batch["y"]) ** 2)
+
+    tx = make_adamw(1e-2, params_for_mask=params)
+    state = TrainState.create(params, tx)
+    step = make_train_step(loss_fn, tx, mesh=mesh)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "x": np.random.default_rng(0).standard_normal((16, 4)).astype(np.float32),
+        "y": np.zeros((16,), np.float32),
+    }
+    sb = shard_batch(mesh, batch)
+    state2, metrics = step(state, sb, rng)
+    assert int(state2.step) == 1
+    assert bool(jnp.isfinite(metrics["loss"]))
+    # Param update must be identical to the single-device computation.
+    state_1d = TrainState.create(fresh_params(), tx)
+    step_1d = make_train_step(loss_fn, tx, mesh=None)
+    state_1d2, m2 = step_1d(state_1d, {k: jnp.asarray(v) for k, v in batch.items()}, rng)
+    np.testing.assert_allclose(
+        np.asarray(state2.params["w"]), np.asarray(state_1d2.params["w"]),
+        rtol=1e-6,
+    )
+
+
+def test_trainable_mask_freezes():
+    params = {"a": jnp.ones((2, 2)), "b": jnp.ones((2, 2))}
+    mask = {"a": True, "b": False}
+
+    def loss_fn(p, batch, rng):
+        return jnp.sum(p["a"] ** 2) + jnp.sum(p["b"] ** 2)
+
+    tx = make_adamw(0.1, params_for_mask=params, trainable_mask=mask)
+    state = TrainState.create(params, tx)
+    step = make_train_step(loss_fn, tx)
+    state2, _ = step(state, {}, jax.random.PRNGKey(0))
+    assert float(jnp.max(jnp.abs(state2.params["b"] - 1.0))) == 0.0
+    assert float(jnp.max(jnp.abs(state2.params["a"] - 1.0))) > 0.0
+
+
+def test_lora_merge_and_grad():
+    params = {"layers_0": {"self_attn": {"q_proj": {"kernel": jnp.zeros((4, 4))},
+                                         "k_proj": {"kernel": jnp.zeros((4, 4))}}}}
+    rules = llama_qv_rules(rank=2, alpha=2.0)
+    lora = init_lora(jax.random.PRNGKey(0), params, rules)
+    assert "layers_0/self_attn/q_proj/kernel" in lora
+    assert "layers_0/self_attn/k_proj/kernel" not in lora
+    merged = apply_lora(params, lora, rules)
+    # b initialised to zero -> merge is identity at init.
+    np.testing.assert_allclose(
+        np.asarray(merged["layers_0"]["self_attn"]["q_proj"]["kernel"]), 0.0
+    )
+
+    def loss(lora_p):
+        m = apply_lora(params, lora_p, rules)
+        return jnp.sum(m["layers_0"]["self_attn"]["q_proj"]["kernel"] ** 2)
+
+    key = "layers_0/self_attn/q_proj/kernel"
+    lora2 = dict(lora)
+    lora2[key] = {"a": lora[key]["a"], "b": jnp.ones_like(lora[key]["b"])}
+    g = jax.grad(loss)(lora2)
+    assert float(jnp.max(jnp.abs(g[key]["a"]))) > 0
+
+
+def test_partial_x_lora_slice():
+    params = {"mixer": {"in_proj": {"kernel": jnp.zeros((4, 8))}}}
+    rules = mamba_partial_x_rules(d_inner=4, rank=2)
+    lora = init_lora(jax.random.PRNGKey(0), params, rules)
+    key = "mixer/in_proj/kernel"
+    lora[key] = {"a": jnp.ones((4, 2)), "b": jnp.ones((2, 4))}
+    merged = apply_lora(params, lora, rules)
+    k = np.asarray(merged["mixer"]["in_proj"]["kernel"])
+    assert np.all(k[:, :4] != 0)  # X half updated
+    assert np.all(k[:, 4:] == 0)  # Z half untouched
+
+
+def test_delta_checkpoint_roundtrip():
+    params = {"vision": {"kernel": jnp.ones((2, 2)) * 3},
+              "llm": {"kernel": jnp.ones((2, 2)) * 7}}
+    mask = {"vision": {"kernel": True}, "llm": {"kernel": False}}
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, delta_filename(3, 100, {"Bleu_4": 0.1}))
+        save_delta(path, params, mask, config={"x": 1}, epoch=3, step=100)
+        delta, meta = load_delta(path)
+        assert meta["epoch"] == 3 and meta["config"] == {"x": 1}
+        fresh = {"vision": {"kernel": jnp.zeros((2, 2))},
+                 "llm": {"kernel": jnp.zeros((2, 2))}}
+        merged = merge_delta(fresh, delta)
+        np.testing.assert_allclose(np.asarray(merged["vision"]["kernel"]), 3.0)
+        np.testing.assert_allclose(np.asarray(merged["llm"]["kernel"]), 0.0)
+
+
+def test_warmup_cosine_shape():
+    sched = warmup_cosine(1e-3, 10, 100)
+    assert float(sched(0)) == 0.0
+    assert float(sched(10)) == pytest.approx(1e-3)
+    assert float(sched(100)) < 1e-4
