@@ -1,0 +1,118 @@
+"""Typed configuration system with YAML presets.
+
+Replaces the reference's three config mechanisms (SURVEY.md §5.6):
+argparse monoliths (``R2GenCSR/configs/config.py``), yacs trees
+(SwinCheX/VMamba), and fire CLIs (EMRRG) with one dataclass tree +
+YAML presets + dotted-path overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import yaml
+
+from ..models.mrg import GenerateConfig
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset: str = "iu_xray"  # iu_xray | mimic_cxr | chexpert_plus | chinese | synthetic
+    annotation_path: str = ""
+    base_dir: str = ""
+    batch_size: int = 6
+    input_size: int = 224
+    max_len: int = 100
+    num_views: int = 2
+    n_context: int = 0  # R2GenCSR context exemplars per polarity
+    vocab_min_freq: int = 3
+    prompt: str = "human : generate a comprehensive and detailed diagnosis report for this chest xray image ."
+    prompt_after: str = "assistant :"
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    task: str = "r2gengpt"  # r2gengpt | r2gencsr | am_mrg | r2gen_kg | emrrg
+    #                       | clip | mae | ar | swinchex | dp
+    vision: str = "swin"  # swin | vssm | arm
+    vision_size: str = "base"  # tiny | base | large (per-family presets)
+    llm: str = "qwen1_5_0_5b"  # key into models.llm.LLM_CONFIGS
+    vision_kwargs: dict = dataclasses.field(default_factory=dict)
+    llm_kwargs: dict = dataclasses.field(default_factory=dict)
+    mask_type: str = "random"  # mae: random | region
+    mask_ratio: float = 0.75
+    mask_ratio_inner: float = 0.75
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: int = 3
+    lr: float = 1e-4
+    blr: float = 0.0  # if >0: lr = blr * global_batch / 256
+    weight_decay: float = 0.05
+    warmup_steps: int = 100
+    grad_clip: float = 1.0
+    freeze_llm: bool = True
+    lora_llm: bool = False
+    lora_rank: int = 16
+    seed: int = 42
+    log_every: int = 10
+    val_every_epochs: int = 1
+    save_dir: str = "save"
+    debug_nans: bool = False
+    mesh_data: int = -1
+    mesh_model: int = 1
+
+
+@dataclasses.dataclass
+class RunConfig:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    generate: GenerateConfig = dataclasses.field(
+        default_factory=GenerateConfig
+    )
+
+
+def _to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def _from_dict(cls, d: dict):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in fields:
+            raise KeyError(f"unknown config key: {cls.__name__}.{k}")
+        t = fields[k].type
+        sub = {
+            "data": DataConfig, "model": ModelConfig,
+            "train": TrainConfig, "generate": GenerateConfig,
+        }.get(k)
+        kwargs[k] = _from_dict(sub, v) if sub and isinstance(v, dict) else v
+    return cls(**kwargs)
+
+
+def load_config(path: str, overrides: list[str] | None = None) -> RunConfig:
+    with open(path) as f:
+        d = yaml.safe_load(f) or {}
+    return make_config(d, overrides)
+
+
+def make_config(d: dict | None = None, overrides: list[str] | None = None
+                ) -> RunConfig:
+    d = dict(d or {})
+    for ov in overrides or []:  # "train.lr=3e-4" dotted overrides
+        key, _, val = ov.partition("=")
+        parts = key.split(".")
+        node = d
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = yaml.safe_load(val)
+    return _from_dict(RunConfig, d)
+
+
+def save_config(cfg: RunConfig, path: str):
+    with open(path, "w") as f:
+        yaml.safe_dump(_to_dict(cfg), f, sort_keys=False)

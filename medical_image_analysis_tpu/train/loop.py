@@ -1,0 +1,406 @@
+"""Training recipes: MRG SFT, MAE/AR pretrain, CLIP align, classification.
+
+The reference's per-project train.py + Lightning Trainer + raw DDP loops
+(SURVEY.md §2.6, §3.1-3.5) collapse into these functions: one pjit step
+from :mod:`.train_state`, host batching from :mod:`..data.datasets`,
+validation generation + NLG/CE scoring, trainable-only delta saves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.config import RunConfig
+from ..ckpt.checkpoint import delta_filename, save_delta
+from ..data.datasets import (
+    MRGBatcher,
+    disk_image_loader,
+    drop_unclear_reports,
+    load_annotations,
+    prefetch,
+    synthetic_annotations,
+    synthetic_image_loader,
+)
+from ..data.tokenizer import WordTokenizer
+from ..evalx.chexbert import clinical_efficacy, extract_labels
+from ..evalx.nlg import compute_nlg_scores
+from ..models.emrrg import EMRRG
+from ..models.llm import LLM_CONFIGS
+from ..models.mamba import ARM_CONFIGS
+from ..models.mrg import GenerateConfig, R2GenCSR, R2GenGPT
+from ..models.swin import SWIN_CONFIGS
+from ..models.vit import MAE
+from ..models.vision_mamba_ar import VisionMambaAR
+from ..models.vmamba import VSSM_CONFIGS
+from ..parallel.mesh import make_mesh, shard_batch
+from ..utils.logging import JsonlLogger, MetricLogger
+from ..utils.profiling import enable_debug_nans
+from .optim import make_adamw, scaled_lr, warmup_cosine
+from .train_state import TrainState, make_train_step
+
+
+def _mesh_for(batch_size: int, mesh_data: int = -1):
+    """Data-parallel mesh over as many devices as divide the batch."""
+    n = len(jax.devices())
+    d = n if mesh_data in (-1, 0) else min(mesh_data, n)
+    while d > 1 and batch_size % d != 0:
+        d -= 1
+    if d <= 1:
+        return None
+    return make_mesh(data=d, devices=jax.devices()[:d])
+
+
+def vision_preset(family: str, size: str, extra: dict | None = None) -> dict:
+    base = {
+        "swin": lambda: dict(SWIN_CONFIGS[f"swin_{size}"]),
+        "vssm": lambda: dict(VSSM_CONFIGS[f"vssm_{size}"]),
+        "arm": lambda: dict(ARM_CONFIGS[f"arm_{size}_pz16"]),
+    }[family]()
+    base.update(extra or {})
+    return base
+
+
+def build_data(cfg: RunConfig):
+    d = cfg.data
+    if d.dataset == "synthetic":
+        ann = synthetic_annotations()
+        loader = synthetic_image_loader(d.input_size, d.num_views)
+    else:
+        ann = load_annotations(d.annotation_path, d.dataset)
+        loader = disk_image_loader(d.base_dir, d.input_size)
+    ann["train"] = drop_unclear_reports(ann["train"])
+    tok = WordTokenizer.from_corpus(
+        (s.report for s in ann["train"]), min_freq=d.vocab_min_freq
+    )
+    def batcher(split, n_context=0, shuffle=True):
+        return MRGBatcher(
+            ann[split], tok, loader, d.batch_size, max_len=d.max_len,
+            num_views=d.num_views, prompt_before=d.prompt,
+            prompt_after=d.prompt_after, n_context=n_context,
+        )
+    return ann, tok, batcher
+
+
+def build_mrg_model(cfg: RunConfig, vocab_size: int):
+    m = cfg.model
+    llm_cfg = dataclasses.replace(
+        LLM_CONFIGS[m.llm], vocab_size=vocab_size, **(m.llm_kwargs or {})
+    )
+    vk = vision_preset(m.vision, m.vision_size, m.vision_kwargs)
+    if m.task == "r2gencsr":
+        return R2GenCSR(llm_cfg=llm_cfg, chosen=m.vision, vision_kwargs=vk)
+    if m.task == "emrrg":
+        return EMRRG(llm_cfg=llm_cfg, arm_kwargs=vk)
+    return R2GenGPT(llm_cfg=llm_cfg, chosen=m.vision, vision_kwargs=vk)
+
+
+def trainable_mask(params, freeze_llm: bool):
+    """Freeze the LLM tower (the reference default: frozen/LoRA LLM)."""
+    if not freeze_llm:
+        return jax.tree_util.tree_map(lambda _: True, params)
+
+    def walk(tree, frozen):
+        if isinstance(tree, dict):
+            return {
+                k: walk(v, frozen or k == "llm") for k, v in tree.items()
+            }
+        return not frozen
+
+    return walk(params, False)
+
+
+def _device_batch(batch: dict, mesh):
+    arrays = {
+        k: v for k, v in batch.items() if isinstance(v, np.ndarray)
+    }
+    if mesh is not None:
+        return shard_batch(mesh, arrays)
+    return {k: jnp.asarray(v) for k, v in arrays.items()}
+
+
+_MRG_KEYS = ("images", "before_ids", "after_ids", "target_ids", "target_mask")
+_GEN_KEYS = ("images", "before_ids", "after_ids")
+_CSR_TRAIN = ("images", "context_images", "before_ids", "after_ids",
+              "target_ids", "target_mask")
+_CSR_GEN = ("images", "context_images", "before_ids", "after_ids")
+
+
+def fit_mrg(cfg: RunConfig) -> dict:
+    """SFT recipe (call stacks 3.1/3.2 of SURVEY.md)."""
+    t = cfg.train
+    if t.debug_nans:
+        enable_debug_nans(True)
+    os.makedirs(t.save_dir, exist_ok=True)
+    logger = JsonlLogger(t.save_dir)
+    ann, tok, batcher = build_data(cfg)
+    is_csr = cfg.model.task == "r2gencsr"
+    n_ctx = cfg.data.n_context if is_csr else 0
+    train_b = batcher("train", n_context=n_ctx)
+    model = build_mrg_model(cfg, tok.vocab_size)
+    gcfg = dataclasses.replace(cfg.generate, eos_id=tok.EOS)
+
+    first = next(train_b.batches(shuffle=False))
+    keys = _CSR_TRAIN if is_csr else _MRG_KEYS
+    init_args = [jnp.asarray(first[k]) for k in keys]
+    params = model.init(jax.random.PRNGKey(t.seed), *init_args)
+
+    mesh = _mesh_for(cfg.data.batch_size, t.mesh_data)
+    steps_per_epoch = max(len(ann["train"]) // cfg.data.batch_size, 1)
+    total = steps_per_epoch * t.epochs
+    lr = t.lr if t.blr <= 0 else scaled_lr(
+        t.blr, cfg.data.batch_size
+    )
+    sched = warmup_cosine(lr, t.warmup_steps, total)
+    mask = trainable_mask(params, t.freeze_llm)
+    tx = make_adamw(
+        sched, weight_decay=t.weight_decay, grad_clip=t.grad_clip,
+        params_for_mask=params, trainable_mask=mask,
+    )
+    state = TrainState.create(params, tx)
+
+    def loss_fn(params, batch, rng):
+        return model.apply(params, *[batch[k] for k in keys])
+
+    step = make_train_step(loss_fn, tx, mesh=mesh)
+    gen_keys = _CSR_GEN if is_csr else _GEN_KEYS
+    gen_method = type(model).generate
+
+    @jax.jit
+    def gen_fn(params, batch):
+        return model.apply(
+            params, *[batch[k] for k in gen_keys], gcfg, method=gen_method
+        )
+
+    rng = jax.random.PRNGKey(t.seed + 1)
+    ml = MetricLogger()
+    results = {}
+    for epoch in range(t.epochs):
+        it = prefetch(train_b.batches())
+        for i, batch in enumerate(ml.log_every(
+            it, t.log_every, f"epoch {epoch}", total=steps_per_epoch
+        )):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, _device_batch(batch, mesh), sub)
+            ml.update(loss=float(metrics["loss"]))
+        logger.write({"epoch": epoch, "loss": ml.meters["loss"].global_avg})
+
+        if (epoch + 1) % t.val_every_epochs == 0:
+            scores = evaluate_mrg(
+                model, state.params, batcher("val", n_context=n_ctx), tok,
+                gen_fn, mesh,
+            )
+            logger.write({"epoch": epoch, **scores})
+            results = scores
+            save_delta(
+                os.path.join(
+                    t.save_dir, delta_filename(epoch, int(state.step), scores)
+                ),
+                state.params, mask,
+                config={"task": cfg.model.task}, epoch=epoch,
+                step=int(state.step),
+            )
+    return results
+
+
+def evaluate_mrg(model, params, batcher, tok, gen_fn, mesh=None,
+                 max_batches: int = 50) -> dict:
+    gts, res = {}, {}
+    for bi, batch in enumerate(batcher.batches(shuffle=False,
+                                               drop_last=False)):
+        if bi >= max_batches:
+            break
+        out = gen_fn(params, _device_batch(batch, None))
+        out = np.asarray(out)
+        for i, sid in enumerate(batch["ids"]):
+            res[sid] = [tok.decode(out[i])]
+            gts[sid] = [batch["reports"][i]]
+    scores = compute_nlg_scores(gts, res)
+    scores.update(clinical_efficacy(gts, res))
+    return scores
+
+
+def fit_mae(cfg: RunConfig) -> dict:
+    """MAE pretrain recipe (HD 3.3-analog; random or region masking)."""
+    t, m = cfg.train, cfg.model
+    ann, tok, batcher = build_data(cfg)
+    model = MAE(
+        patch_size=16, in_chans=3,
+        **{k: v for k, v in (m.vision_kwargs or {}).items()},
+    )
+    train_b = batcher("train")
+    first = next(train_b.batches(shuffle=False))
+    imgs0 = jnp.asarray(first["images"][:, 0])
+    rng = jax.random.PRNGKey(t.seed)
+    params = model.init({"params": rng}, imgs0, rng=rng,
+                        mask_type=m.mask_type, mask_ratio=m.mask_ratio,
+                        mask_ratio_inner=m.mask_ratio_inner)
+    mesh = _mesh_for(cfg.data.batch_size, t.mesh_data)
+    steps = max(len(ann["train"]) // cfg.data.batch_size, 1) * t.epochs
+    lr = t.lr if t.blr <= 0 else scaled_lr(t.blr, cfg.data.batch_size)
+    tx = make_adamw(warmup_cosine(lr, t.warmup_steps, steps),
+                    weight_decay=t.weight_decay, grad_clip=t.grad_clip,
+                    params_for_mask=params)
+    state = TrainState.create(params, tx)
+
+    def loss_fn(params, batch, rng):
+        loss, _, _ = model.apply(
+            params, batch["images"][:, 0], rng=rng, mask_type=m.mask_type,
+            mask_ratio=m.mask_ratio, mask_ratio_inner=m.mask_ratio_inner,
+            deterministic=False,
+        )
+        return loss
+
+    step = make_train_step(loss_fn, tx, mesh=mesh)
+    ml = MetricLogger()
+    for epoch in range(t.epochs):
+        for batch in ml.log_every(
+            prefetch(train_b.batches()), t.log_every, f"mae epoch {epoch}"
+        ):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, _device_batch(batch, mesh), sub)
+            ml.update(loss=float(metrics["loss"]))
+    return {"loss": ml.meters["loss"].global_avg}
+
+
+def fit_ar(cfg: RunConfig) -> dict:
+    """Mamba AR pretrain recipe (call stack 3.3)."""
+    t, m = cfg.train, cfg.model
+    ann, tok, batcher = build_data(cfg)
+    model = VisionMambaAR(**(m.vision_kwargs or {}))
+    train_b = batcher("train")
+    first = next(train_b.batches(shuffle=False))
+    imgs0 = jnp.asarray(first["images"][:, 0])
+    params = model.init(jax.random.PRNGKey(t.seed), imgs0)
+    mesh = _mesh_for(cfg.data.batch_size, t.mesh_data)
+    steps = max(len(ann["train"]) // cfg.data.batch_size, 1) * t.epochs
+    lr = t.lr if t.blr <= 0 else scaled_lr(t.blr, cfg.data.batch_size)
+    tx = make_adamw(warmup_cosine(lr, t.warmup_steps, steps),
+                    weight_decay=t.weight_decay, grad_clip=t.grad_clip,
+                    params_for_mask=params)
+    state = TrainState.create(params, tx)
+
+    def loss_fn(params, batch, rng):
+        return model.apply(params, batch["images"][:, 0])
+
+    step = make_train_step(loss_fn, tx, mesh=mesh)
+    ml = MetricLogger()
+    rng = jax.random.PRNGKey(t.seed + 1)
+    for epoch in range(t.epochs):
+        for batch in ml.log_every(
+            prefetch(train_b.batches()), t.log_every, f"ar epoch {epoch}"
+        ):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, _device_batch(batch, mesh), sub)
+            ml.update(loss=float(metrics["loss"]))
+    return {"loss": ml.meters["loss"].global_avg}
+
+
+def fit_clip(cfg: RunConfig) -> dict:
+    """CLIP alignment recipe (call stack 3.4)."""
+    from ..models.mambaxray_vl import MambaXrayVLCLIP
+
+    t, m = cfg.train, cfg.model
+    ann, tok, batcher = build_data(cfg)
+    model = MambaXrayVLCLIP(
+        arm_kwargs=vision_preset("arm", m.vision_size, m.vision_kwargs),
+        text_kwargs=dict(vocab_size=tok.vocab_size, depth=2,
+                         max_len=cfg.data.max_len),
+    )
+    train_b = batcher("train")
+    first = next(train_b.batches(shuffle=False))
+    params = model.init(
+        jax.random.PRNGKey(t.seed),
+        jnp.asarray(first["images"][:, 0]),
+        jnp.asarray(first["target_ids"]),
+        jnp.asarray(first["target_mask"]),
+    )
+    mesh = _mesh_for(cfg.data.batch_size, t.mesh_data)
+    steps = max(len(ann["train"]) // cfg.data.batch_size, 1) * t.epochs
+    tx = make_adamw(warmup_cosine(t.lr, t.warmup_steps, steps),
+                    weight_decay=t.weight_decay, grad_clip=t.grad_clip,
+                    params_for_mask=params)
+    state = TrainState.create(params, tx)
+
+    def loss_fn(params, batch, rng):
+        return model.apply(
+            params, batch["images"][:, 0], batch["target_ids"],
+            batch["target_mask"],
+        )
+
+    step = make_train_step(loss_fn, tx, mesh=mesh)
+    ml = MetricLogger()
+    rng = jax.random.PRNGKey(0)
+    for epoch in range(t.epochs):
+        for batch in ml.log_every(
+            prefetch(train_b.batches()), t.log_every, f"clip epoch {epoch}"
+        ):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, _device_batch(batch, mesh), sub)
+            ml.update(loss=float(metrics["loss"]))
+    return {"loss": ml.meters["loss"].global_avg}
+
+
+def fit_classify(cfg: RunConfig) -> dict:
+    """SwinCheX-style 14-label classification (call stack 3.5); labels
+    extracted from reports with the CheXpert rule labeler."""
+    from ..models.classifiers import swinchex_loss
+    from ..models.swin import SwinCheX, SwinTransformer
+
+    t, m = cfg.train, cfg.model
+    ann, tok, batcher = build_data(cfg)
+    backbone = SwinTransformer(
+        **vision_preset("swin", m.vision_size, m.vision_kwargs)
+    )
+    model = SwinCheX(backbone=backbone, num_classes=14)
+    train_b = batcher("train")
+    first = next(train_b.batches(shuffle=False))
+    params = model.init(
+        jax.random.PRNGKey(t.seed), jnp.asarray(first["images"][:, 0])
+    )
+    mesh = _mesh_for(cfg.data.batch_size, t.mesh_data)
+    steps = max(len(ann["train"]) // cfg.data.batch_size, 1) * t.epochs
+    tx = make_adamw(warmup_cosine(t.lr, t.warmup_steps, steps),
+                    weight_decay=t.weight_decay, grad_clip=t.grad_clip,
+                    params_for_mask=params)
+    state = TrainState.create(params, tx)
+
+    def loss_fn(params, batch, rng):
+        logits = model.apply(params, batch["images"][:, 0])
+        return swinchex_loss(logits, batch["labels"])
+
+    step = make_train_step(loss_fn, tx, mesh=mesh)
+    ml = MetricLogger()
+    rng = jax.random.PRNGKey(0)
+    for epoch in range(t.epochs):
+        for batch in ml.log_every(
+            prefetch(train_b.batches()), t.log_every, f"cls epoch {epoch}"
+        ):
+            labels = np.stack(
+                [extract_labels(r) for r in batch["reports"]]
+            ).astype(np.float32)
+            batch = dict(batch, labels=labels)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, _device_batch(batch, mesh), sub)
+            ml.update(loss=float(metrics["loss"]))
+    return {"loss": ml.meters["loss"].global_avg}
+
+
+RECIPES = {
+    "r2gengpt": fit_mrg,
+    "r2gencsr": fit_mrg,
+    "emrrg": fit_mrg,
+    "mae": fit_mae,
+    "ar": fit_ar,
+    "clip": fit_clip,
+    "swinchex": fit_classify,
+}
+
+
+def fit(cfg: RunConfig) -> dict:
+    return RECIPES[cfg.model.task](cfg)
