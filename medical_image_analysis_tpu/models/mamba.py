@@ -78,15 +78,46 @@ class MambaMixer(nn.Module):
     proj_bias: bool = False
     scan_backend: str = "auto"  # auto | pallas | ref
 
-    @nn.compact
-    def __call__(self, x: jax.Array, cls_pos: int | None = None) -> jax.Array:
+    def setup(self):
         d_inner = self.expand * self.d_model
         rank = self.dt_rank or math.ceil(self.d_model / 16)
         n = self.d_state
         k = _NUM_DIRS[self.bimamba_type]
+        self._d_inner, self._rank, self._n, self._k = d_inner, rank, n, k
+        self.in_proj = nn.Dense(
+            2 * d_inner, use_bias=self.proj_bias, name="in_proj"
+        )
+        self.out_proj = nn.Dense(
+            self.d_model, use_bias=self.proj_bias, name="out_proj"
+        )
+        self.conv_w = self.param(
+            "conv_w", _uniform_init(self.d_conv**-0.5),
+            (k, self.d_conv, d_inner),
+        )
+        self.conv_b = (
+            self.param("conv_b", _uniform_init(self.d_conv**-0.5), (k, d_inner))
+            if self.conv_bias
+            else None
+        )
+        self.x_proj_w = self.param(
+            "x_proj_w", _uniform_init(d_inner**-0.5), (k, rank + 2 * n, d_inner)
+        )
+        self.dt_proj_w = self.param(
+            "dt_proj_w", _uniform_init(rank**-0.5), (k, d_inner, rank)
+        )
+        self.dt_bias = self.param(
+            "dt_bias",
+            _dt_bias_init(self.dt_min, self.dt_max, self.dt_init_floor),
+            (k, d_inner),
+        )
+        self.a_log = self.param("A_log", _a_log_init, (k, d_inner, n))
+        self.d_skip = self.param("D", nn.initializers.ones, (k, d_inner))
+
+    def __call__(self, x: jax.Array, cls_pos: int | None = None) -> jax.Array:
+        d_inner, rank, n, k = self._d_inner, self._rank, self._n, self._k
         b, l, _ = x.shape
 
-        xz = nn.Dense(2 * d_inner, use_bias=self.proj_bias, name="in_proj")(x)
+        xz = self.in_proj(x)
         xi, z = jnp.split(xz, 2, axis=-1)
 
         seqs = [xi]
@@ -106,58 +137,33 @@ class MambaMixer(nn.Module):
             seqs += [xc, jnp.flip(xc, axis=1)]
         x_dirs = jnp.stack(seqs, axis=1)  # (B, K, L, Din)
 
-        conv_w = self.param(
-            "conv_w", _uniform_init(self.d_conv**-0.5), (k, self.d_conv, d_inner)
-        )
-        conv_b = (
-            self.param(
-                "conv_b", _uniform_init(self.d_conv**-0.5), (k, d_inner)
-            )
-            if self.conv_bias
-            else None
-        )
         # One fused causal conv over all directions: direction -> channels.
         xcf = x_dirs.transpose(0, 2, 1, 3).reshape(b, l, k * d_inner)
-        wcf = conv_w.transpose(1, 0, 2).reshape(self.d_conv, k * d_inner)
-        bcf = None if conv_b is None else conv_b.reshape(k * d_inner)
+        wcf = self.conv_w.transpose(1, 0, 2).reshape(self.d_conv, k * d_inner)
+        bcf = None if self.conv_b is None else self.conv_b.reshape(k * d_inner)
         h = causal_conv1d(xcf, wcf, bcf, activation="silu")
         h = h.reshape(b, l, k, d_inner).transpose(0, 2, 1, 3)
 
-        x_proj_w = self.param(
-            "x_proj_w",
-            _uniform_init(d_inner**-0.5),
-            (k, rank + 2 * n, d_inner),
-        )
-        dt_proj_w = self.param(
-            "dt_proj_w", _uniform_init(rank**-0.5), (k, d_inner, rank)
-        )
-        dt_bias = self.param(
-            "dt_bias",
-            _dt_bias_init(self.dt_min, self.dt_max, self.dt_init_floor),
-            (k, d_inner),
-        )
-        a_log = self.param("A_log", _a_log_init, (k, d_inner, n))
-        d_skip = self.param("D", nn.initializers.ones, (k, d_inner))
-
-        x_dbl = jnp.einsum("bkld,kcd->bklc", h, x_proj_w)
+        x_dbl = jnp.einsum("bkld,kcd->bklc", h, self.x_proj_w)
         dt_r = x_dbl[..., :rank]
         bmat = x_dbl[..., rank : rank + n]
         cmat = x_dbl[..., rank + n :]
-        dt = jnp.einsum("bklr,kdr->bkld", dt_r, dt_proj_w)
-        a = -jnp.exp(a_log.astype(jnp.float32))
+        dt = jnp.einsum("bklr,kdr->bkld", dt_r, self.dt_proj_w)
+        a = -jnp.exp(self.a_log.astype(jnp.float32))
 
         backend = self.scan_backend
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "ref"
         if backend == "pallas":
             y_dirs = selective_scan_dirs(
-                h, dt, a, bmat, cmat, d_skip, dt_bias, delta_softplus=True
+                h, dt, a, bmat, cmat, self.d_skip, self.dt_bias,
+                delta_softplus=True,
             )
         else:
             ys = [
                 selective_scan_ref(
                     h[:, i], dt[:, i], a[i], bmat[:, i], cmat[:, i],
-                    d_skip[i], dt_bias[i], delta_softplus=True,
+                    self.d_skip[i], self.dt_bias[i], delta_softplus=True,
                 )
                 for i in range(k)
             ]
@@ -181,7 +187,46 @@ class MambaMixer(nn.Module):
         y = y * nn.silu(z)
         if self.if_devide_out and k > 1:
             y = y / k
-        return nn.Dense(self.d_model, use_bias=self.proj_bias, name="out_proj")(y)
+        return self.out_proj(y)
+
+    def step(self, x_t: jax.Array, conv_state: jax.Array,
+             ssm_state: jax.Array):
+        """Single-token decode step (unidirectional only) — the
+        ``selective_state_update`` / ``causal_conv1d_update`` path of the
+        reference (``mamba_simple.py:717-763``).
+
+        x_t: (B, d_model); conv_state: (B, d_conv-1, d_inner);
+        ssm_state: (B, d_inner, N). Returns (y_t, conv_state, ssm_state).
+        """
+        assert self.bimamba_type == "none", "decode step is 1-directional"
+        rank, n = self._rank, self._n
+
+        xz = self.in_proj(x_t)
+        xi, z = jnp.split(xz, 2, axis=-1)
+        from ..ops.causal_conv import causal_conv1d_update
+
+        h, conv_state = causal_conv1d_update(
+            xi, conv_state, self.conv_w[0],
+            None if self.conv_b is None else self.conv_b[0], "silu",
+        )
+        x_dbl = jnp.einsum("bd,cd->bc", h, self.x_proj_w[0])
+        dt = jnp.einsum("br,dr->bd", x_dbl[:, :rank], self.dt_proj_w[0])
+        bmat = x_dbl[:, rank : rank + n]
+        cmat = x_dbl[:, rank + n :]
+        dt = jax.nn.softplus(
+            dt.astype(jnp.float32) + self.dt_bias[0][None, :]
+        )
+        a = -jnp.exp(self.a_log[0].astype(jnp.float32))  # (d_inner, N)
+        da = jnp.exp(dt[:, :, None] * a[None])  # (B, d_inner, N)
+        ssm_state = ssm_state * da + (
+            (dt * h.astype(jnp.float32))[:, :, None]
+            * bmat.astype(jnp.float32)[:, None, :]
+        )
+        y = jnp.einsum(
+            "bdn,bn->bd", ssm_state, cmat.astype(jnp.float32)
+        ) + self.d_skip[0][None, :] * h.astype(jnp.float32)
+        y = y.astype(x_t.dtype) * nn.silu(z)
+        return self.out_proj(y), conv_state, ssm_state
 
 
 class MambaBlock(nn.Module):
@@ -198,20 +243,13 @@ class MambaBlock(nn.Module):
     drop_path: float = 0.0
     scan_backend: str = "auto"
 
-    @nn.compact
-    def __call__(
-        self,
-        x: jax.Array,
-        cls_pos: int | None = None,
-        deterministic: bool = True,
-    ) -> jax.Array:
-        residual = x.astype(jnp.float32) if self.residual_in_fp32 else x
-        norm = (
+    def setup(self):
+        self.norm = (
             nn.RMSNorm(epsilon=self.norm_eps, name="norm")
             if self.rms_norm
             else nn.LayerNorm(epsilon=self.norm_eps, name="norm")
         )
-        y = MambaMixer(
+        self.mixer = MambaMixer(
             d_model=self.d_model,
             d_state=self.d_state,
             expand=self.expand,
@@ -219,10 +257,30 @@ class MambaBlock(nn.Module):
             if_devide_out=self.if_devide_out,
             scan_backend=self.scan_backend,
             name="mixer",
-        )(norm(x), cls_pos)
-        y = DropPath(self.drop_path, name="drop_path")(y, deterministic)
+        )
+        self.drop = DropPath(self.drop_path, name="drop_path")
+
+    def __call__(
+        self,
+        x: jax.Array,
+        cls_pos: int | None = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        residual = x.astype(jnp.float32) if self.residual_in_fp32 else x
+        y = self.mixer(self.norm(x), cls_pos)
+        y = self.drop(y, deterministic)
         out = residual + y.astype(residual.dtype)
         return out.astype(x.dtype)
+
+    def step(self, x_t: jax.Array, conv_state: jax.Array,
+             ssm_state: jax.Array):
+        """Single-token decode through norm + mixer + residual."""
+        residual = x_t.astype(jnp.float32) if self.residual_in_fp32 else x_t
+        y, conv_state, ssm_state = self.mixer.step(
+            self.norm(x_t), conv_state, ssm_state
+        )
+        out = (residual + y.astype(residual.dtype)).astype(x_t.dtype)
+        return out, conv_state, ssm_state
 
 
 class ARM(nn.Module):

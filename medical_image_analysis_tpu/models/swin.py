@@ -213,18 +213,34 @@ class SwinCheX(nn.Module):
 
     _HEAD_DIMS = {0: (), 1: (48,), 2: (384, 48), 3: (384, 48, 48)}
 
-    @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        tokens = self.backbone(x, deterministic)
-        feat = jnp.mean(tokens, axis=1)  # avgpool over tokens
+    def setup(self):
         hidden = self._HEAD_DIMS[self.num_mlp_heads]
-        logits = []
+        heads = []
         for i in range(self.num_classes):
+            stack = [
+                nn.Dense(hd, name=f"head{i}_fc{j}")
+                for j, hd in enumerate(hidden)
+            ]
+            stack.append(nn.Dense(2, name=f"head{i}_out"))
+            heads.append(stack)
+        self.heads = heads
+
+    def tokens(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        """Final-stage token features (the GradCAM target layer)."""
+        return self.backbone(x, deterministic)
+
+    def logits_from_tokens(self, tokens: jax.Array) -> jax.Array:
+        feat = jnp.mean(tokens, axis=1)  # avgpool over tokens
+        logits = []
+        for stack in self.heads:
             h = feat
-            for j, hd in enumerate(hidden):
-                h = nn.relu(nn.Dense(hd, name=f"head{i}_fc{j}")(h))
-            logits.append(nn.Dense(2, name=f"head{i}_out")(h))
+            for layer in stack[:-1]:
+                h = nn.relu(layer(h))
+            logits.append(stack[-1](h))
         return jnp.stack(logits, axis=1)  # (B, num_classes, 2)
+
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        return self.logits_from_tokens(self.tokens(x, deterministic))
 
 
 SWIN_CONFIGS = {

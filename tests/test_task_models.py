@@ -122,3 +122,24 @@ def test_classifiers():
     assert bool(jnp.isfinite(weighted_bce_loss(logits, labels)))
     logits2 = jax.random.normal(jax.random.PRNGKey(2), (2, 14, 2))
     assert bool(jnp.isfinite(swinchex_loss(logits2, labels)))
+
+
+def test_mac_rrg():
+    from medical_image_analysis_tpu.models.mac_rrg import MACRRG
+
+    m = MACRRG(
+        llm_cfg=TINY_LLM, chosen="swin",
+        vision_kwargs=dict(embed_dim=8, depths=(1, 1), num_heads=(2, 2),
+                           window_size=4, drop_path_rate=0.0),
+    )
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 32, 32, 3))
+    rag = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16))
+    conc = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 16))
+    before, after, tgt, mask = _text()
+    params = m.init(jax.random.PRNGKey(3), imgs, rag, conc, before, after,
+                    tgt, mask)
+    loss = m.apply(params, imgs, rag, conc, before, after, tgt, mask)
+    assert bool(jnp.isfinite(loss))
+    out = m.apply(params, imgs, rag, conc, before, after, GCFG,
+                  method=MACRRG.generate)
+    assert out.shape == (2, 4)
