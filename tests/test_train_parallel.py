@@ -173,3 +173,20 @@ def test_warmup_cosine_shape():
     assert float(sched(0)) == 0.0
     assert float(sched(10)) == pytest.approx(1e-3)
     assert float(sched(100)) < 1e-4
+
+
+def test_orbax_full_roundtrip():
+    from medical_image_analysis_tpu.ckpt.checkpoint import (
+        restore_full,
+        save_full,
+    )
+
+    params = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones(4)}}
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt1")
+        save_full(path, params)
+        target = jax.tree_util.tree_map(jnp.zeros_like, params)
+        restored = restore_full(path, target)
+        np.testing.assert_allclose(
+            np.asarray(restored["a"]), np.asarray(params["a"])
+        )
