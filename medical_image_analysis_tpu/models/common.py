@@ -16,26 +16,36 @@ class PatchEmbed(nn.Module):
 
     (B, H, W, C) -> (B, H/p * W/p, dim). Reference:
     ``arm/Finetuning/models_mamba.py`` PatchEmbed / timm PatchEmbed.
+    ``embed_flat`` embeds already-patchified pixels (B, K, p*p*C) —
+    used by the MAE mask-first fast path to embed only kept patches.
     """
 
     patch_size: int = 16
     embed_dim: int = 768
     flatten: bool = True
 
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def setup(self):
         p = self.patch_size
-        x = nn.Conv(
+        self.proj = nn.Conv(
             self.embed_dim,
             kernel_size=(p, p),
             strides=(p, p),
             padding="VALID",
             name="proj",
-        )(x)
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = self.proj(x)
         if self.flatten:
             b, h, w, c = x.shape
             x = x.reshape(b, h * w, c)
         return x
+
+    def embed_flat(self, patches: jax.Array) -> jax.Array:
+        b, k, f = patches.shape
+        p = self.patch_size
+        x = patches.reshape(b * k, p, p, f // (p * p))
+        return self.proj(x).reshape(b, k, self.embed_dim)
 
 
 class DropPath(nn.Module):

@@ -48,36 +48,88 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.attention import fused_attention
+
         b, l, _ = x.shape
         nh, hd = self.num_heads, self.dim // self.num_heads
         qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, name="qkv")(x)
         qkv = qkv.reshape(b, l, 3, nh, hd)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        attn = jax.nn.softmax(
-            jnp.einsum("bhqd,bhkd->bhqk", q, k) * hd**-0.5, axis=-1
-        )
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        return nn.Dense(self.dim, name="proj")(
-            out.transpose(0, 2, 1, 3).reshape(b, l, self.dim)
-        )
+        out = fused_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+        return nn.Dense(self.dim, name="proj")(out.reshape(b, l, self.dim))
 
 
 class TransformerBlock(nn.Module):
+    """Pre-LN ViT block over explicit params, with two execution paths:
+    fused Pallas block kernels (LN+attn+proj and LN+MLP each one kernel —
+    ~1.7x encoder speedup on v5e, see ops/vit_block.py) or the unfused
+    XLA path (used off-TPU and when stochastic depth is active)."""
+
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    fused: bool | None = None  # None = auto (fused on TPU)
 
-    @nn.compact
+    def setup(self):
+        d = self.dim
+        hidden = int(self.dim * self.mlp_ratio)
+        dense_init = nn.initializers.lecun_normal()
+        self.ln1_scale = self.param("ln1_scale", nn.initializers.ones, (d,))
+        self.ln1_bias = self.param("ln1_bias", nn.initializers.zeros, (d,))
+        self.qkv_kernel = self.param("qkv_kernel", dense_init, (d, 3 * d))
+        self.qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3 * d,))
+        self.proj_kernel = self.param("proj_kernel", dense_init, (d, d))
+        self.proj_bias = self.param("proj_bias", nn.initializers.zeros, (d,))
+        self.ln2_scale = self.param("ln2_scale", nn.initializers.ones, (d,))
+        self.ln2_bias = self.param("ln2_bias", nn.initializers.zeros, (d,))
+        self.fc1_kernel = self.param("fc1_kernel", dense_init, (d, hidden))
+        self.fc1_bias = self.param("fc1_bias", nn.initializers.zeros, (hidden,))
+        self.fc2_kernel = self.param("fc2_kernel", dense_init, (hidden, d))
+        self.fc2_bias = self.param("fc2_bias", nn.initializers.zeros, (d,))
+        self.dp1 = DropPath(self.drop_path, name="dp1")
+        self.dp2 = DropPath(self.drop_path, name="dp2")
+
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        y = Attention(self.dim, self.num_heads, name="attn")(
-            nn.LayerNorm(name="norm1")(x)
+        from ..ops.vit_block import (
+            _attn_unfused,
+            _mlp_unfused,
+            fused_attn_block,
+            fused_mlp_block,
         )
-        x = x + DropPath(self.drop_path, name="dp1")(y, deterministic)
-        y = Mlp(int(self.dim * self.mlp_ratio), name="mlp")(
-            nn.LayerNorm(name="norm2")(x), deterministic
-        )
-        return x + DropPath(self.drop_path, name="dp2")(y, deterministic)
+
+        dt = x.dtype
+        w = lambda p: p.astype(dt)  # noqa: E731
+        use_fused = self.fused
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu"
+        if self.drop_path > 0 and not deterministic:
+            use_fused = False
+        if self.is_initializing():
+            use_fused = False  # init runs f32 on tiny shapes; skip kernels
+
+        if use_fused:
+            x = fused_attn_block(
+                x, w(self.qkv_kernel), w(self.qkv_bias),
+                w(self.proj_kernel), w(self.proj_bias),
+                w(self.ln1_scale), w(self.ln1_bias), self.num_heads,
+            )
+            return fused_mlp_block(
+                x, w(self.fc1_kernel), w(self.fc1_bias),
+                w(self.fc2_kernel), w(self.fc2_bias),
+                w(self.ln2_scale), w(self.ln2_bias),
+            )
+
+        y = _attn_unfused(
+            x, w(self.qkv_kernel), w(self.qkv_bias), w(self.proj_kernel),
+            w(self.proj_bias), w(self.ln1_scale), w(self.ln1_bias),
+            self.num_heads,
+        ) - x
+        x = x + self.dp1(y, deterministic)
+        y = _mlp_unfused(
+            x, w(self.fc1_kernel), w(self.fc1_bias), w(self.fc2_kernel),
+            w(self.fc2_bias), w(self.ln2_scale), w(self.ln2_bias),
+        ) - x
+        return x + self.dp2(y, deterministic)
 
 
 def patchify(imgs: jax.Array, p: int) -> jax.Array:
@@ -95,20 +147,26 @@ def unpatchify(x: jax.Array, p: int, h: int, w: int, c: int) -> jax.Array:
     return x.reshape(b, h, w, c)
 
 
-def random_masking(rng, x: jax.Array, mask_ratio: float):
-    """Per-sample random masking (mae.py:157-182).
+def random_mask_ids(rng, n: int, l: int, mask_ratio: float):
+    """Keep/restore indices for per-sample random masking (mae.py:157-182).
 
-    Returns (x_keep, mask, ids_restore); mask is 1 where removed.
-    """
-    n, l, d = x.shape
+    Returns (ids_keep (n, len_keep), mask (n, l; 1 = removed),
+    ids_restore (n, l))."""
     len_keep = int(l * (1 - mask_ratio))
     noise = jax.random.uniform(rng, (n, l))
     ids_shuffle = jnp.argsort(noise, axis=1)
     ids_restore = jnp.argsort(ids_shuffle, axis=1)
     ids_keep = ids_shuffle[:, :len_keep]
-    x_keep = jnp.take_along_axis(x, ids_keep[..., None], axis=1)
     mask = jnp.ones((n, l)).at[:, :len_keep].set(0.0)
     mask = jnp.take_along_axis(mask, ids_restore, axis=1)
+    return ids_keep, mask, ids_restore
+
+
+def random_masking(rng, x: jax.Array, mask_ratio: float):
+    """Per-sample random masking; returns (x_keep, mask, ids_restore)."""
+    n, l, d = x.shape
+    ids_keep, mask, ids_restore = random_mask_ids(rng, n, l, mask_ratio)
+    x_keep = jnp.take_along_axis(x, ids_keep[..., None], axis=1)
     return x_keep, mask, ids_restore
 
 
@@ -150,6 +208,7 @@ def region_masking(
     mask = jnp.ones((n, l)).at[:, :len_keep].set(0.0)
     mask = jnp.take_along_axis(mask, ids_restore, axis=1)
     return x_keep, mask, ids_restore
+
 
 
 class ViT(nn.Module):
@@ -229,6 +288,35 @@ class MAE(nn.Module):
 
     def encode(self, imgs, rng=None, mask_type="random", mask_ratio=0.75,
                mask_ratio_inner=0.75, deterministic=True):
+        if mask_type == "random" and rng is not None:
+            # Mask-first fast path: choose keep ids, gather raw patches,
+            # embed only the kept 25% (4x less patch-embed work and no
+            # full-length token tensor in HBM).
+            b = imgs.shape[0]
+            p = self.patch_size
+            l = (imgs.shape[1] // p) * (imgs.shape[2] // p)
+            grid = int(math.isqrt(l))
+            ids_keep, mask, ids_restore = random_mask_ids(
+                rng, b, l, mask_ratio
+            )
+            patches = patchify(imgs, p)
+            kept = jnp.take_along_axis(patches, ids_keep[..., None], axis=1)
+            x = self.patch_embed.embed_flat(kept)
+            d = x.shape[-1]
+            pos = jnp.asarray(sincos_pos_embed_2d(d, grid)).astype(x.dtype)
+            pos_kept = jnp.take_along_axis(
+                jnp.broadcast_to(pos[:, 1:], (b, l, d)),
+                ids_keep[..., None], axis=1,
+            )
+            x = x + pos_kept
+            cls = jnp.broadcast_to(
+                self.cls_token + pos[:, :1], (b, 1, d)
+            ).astype(x.dtype)
+            x = jnp.concatenate([cls, x], axis=1)
+            for blk in self.blocks:
+                x = blk(x, deterministic)
+            return self.norm(x), mask, ids_restore
+
         x = self.patch_embed(imgs)
         b, l, d = x.shape
         grid = int(math.isqrt(l))
@@ -237,12 +325,10 @@ class MAE(nn.Module):
         if mask_type == "none" or rng is None:
             mask = jnp.zeros((b, l))
             ids_restore = jnp.broadcast_to(jnp.arange(l), (b, l))
-        elif mask_type == "region":
+        else:
             x, mask, ids_restore = region_masking(
                 rng, x, mask_ratio, mask_ratio_inner
             )
-        else:
-            x, mask, ids_restore = random_masking(rng, x, mask_ratio)
         cls = jnp.broadcast_to(
             self.cls_token + pos[:, :1], (b, 1, d)
         ).astype(x.dtype)
