@@ -113,6 +113,105 @@ def llama_hf_to_flax(sd: Mapping[str, np.ndarray], n_layers: int) -> dict:
     return {"params": _to_jnp(params)}
 
 
+def swin_hf_to_flax(
+    sd: Mapping[str, np.ndarray], depths: list[int]
+) -> dict:
+    """HF ``SwinModel`` state_dict -> :class:`..models.swin.SwinTransformer`
+    params (used for microsoft/swin-base-patch4-window7-224, the frozen
+    encoder of R2GenCSR/R2GenKG)."""
+
+    def t(name):
+        return np.ascontiguousarray(sd[name].T)
+
+    params = {
+        "patch_embed": {
+            # (D, 3, p, p) -> (p, p, 3, D)
+            "kernel": np.ascontiguousarray(
+                sd["embeddings.patch_embeddings.projection.weight"]
+                .transpose(2, 3, 1, 0)
+            ),
+            "bias": sd["embeddings.patch_embeddings.projection.bias"],
+        },
+        "patch_embed_norm": {
+            "scale": sd["embeddings.norm.weight"],
+            "bias": sd["embeddings.norm.bias"],
+        },
+        "norm": {
+            "scale": sd["layernorm.weight"],
+            "bias": sd["layernorm.bias"],
+        },
+    }
+    for s, depth in enumerate(depths):
+        for blk in range(depth):
+            p = f"encoder.layers.{s}.blocks.{blk}."
+            qkv_w = np.concatenate(
+                [
+                    t(p + "attention.self.query.weight"),
+                    t(p + "attention.self.key.weight"),
+                    t(p + "attention.self.value.weight"),
+                ],
+                axis=1,
+            )
+            qkv_b = np.concatenate(
+                [
+                    sd[p + "attention.self.query.bias"],
+                    sd[p + "attention.self.key.bias"],
+                    sd[p + "attention.self.value.bias"],
+                ]
+            )
+            params[f"stage{s}_block{blk}"] = {
+                "norm1": {
+                    "scale": sd[p + "layernorm_before.weight"],
+                    "bias": sd[p + "layernorm_before.bias"],
+                },
+                "attn": {
+                    "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                    "relative_position_bias_table": sd[
+                        p + "attention.self.relative_position_bias_table"
+                    ],
+                    "proj": {
+                        "kernel": t(p + "attention.output.dense.weight"),
+                        "bias": sd[p + "attention.output.dense.bias"],
+                    },
+                },
+                "norm2": {
+                    "scale": sd[p + "layernorm_after.weight"],
+                    "bias": sd[p + "layernorm_after.bias"],
+                },
+                "mlp": {
+                    "fc1": {
+                        "kernel": t(p + "intermediate.dense.weight"),
+                        "bias": sd[p + "intermediate.dense.bias"],
+                    },
+                    "fc2": {
+                        "kernel": t(p + "output.dense.weight"),
+                        "bias": sd[p + "output.dense.bias"],
+                    },
+                },
+            }
+        if s < len(depths) - 1:
+            p = f"encoder.layers.{s}.downsample."
+            # HF concat order of the 2x2 neighbours is (0,0),(1,0),(0,1),
+            # (1,1); ours is (0,0),(0,1),(1,0),(1,1) — permute the middle
+            # two 4C groups of the reduction input and the norm.
+            c4 = sd[p + "norm.weight"].shape[0]
+            c = c4 // 4
+            perm = np.concatenate(
+                [np.arange(c), 2 * c + np.arange(c), c + np.arange(c),
+                 3 * c + np.arange(c)]
+            )
+            params[f"merge{s}"] = {
+                "norm": {
+                    "scale": sd[p + "norm.weight"][perm],
+                    "bias": sd[p + "norm.bias"][perm],
+                },
+                "reduction": {
+                    "kernel": t(p + "reduction.weight")[perm],
+                },
+            }
+    return {"params": _to_jnp(params)}
+
+
 def _to_jnp(tree):
     if isinstance(tree, dict):
         return {k: _to_jnp(v) for k, v in tree.items()}

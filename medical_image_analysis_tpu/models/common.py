@@ -64,12 +64,16 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+def _gelu_exact(x):
+    return nn.gelu(x, approximate=False)  # torch nn.GELU parity
+
+
 class Mlp(nn.Module):
     """Transformer MLP block."""
 
     hidden_dim: int
     out_dim: int | None = None
-    act: Callable = nn.gelu
+    act: Callable = _gelu_exact
     dropout: float = 0.0
 
     @nn.compact

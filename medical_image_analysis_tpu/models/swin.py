@@ -115,7 +115,7 @@ class SwinBlock(nn.Module):
         ws = min(self.window_size, h, w)
         shift = self.shift if ws < min(h, w) else 0
 
-        y = nn.LayerNorm(name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
         windows = window_partition(y, ws)
@@ -133,7 +133,7 @@ class SwinBlock(nn.Module):
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
 
         y = Mlp(int(self.dim * self.mlp_ratio), name="mlp")(
-            nn.LayerNorm(name="norm2")(x), deterministic
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), deterministic
         )
         return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
 
@@ -148,7 +148,7 @@ class PatchMerging(nn.Module):
         b, h, w, c = x.shape
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(self.out_dim, use_bias=False, name="reduction")(x)
 
 
@@ -172,7 +172,7 @@ class SwinTransformer(nn.Module):
             padding="VALID", name="patch_embed",
         )(x)
         if self.patch_norm:
-            x = nn.LayerNorm(name="patch_embed_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="patch_embed_norm")(x)
 
         total = sum(self.depths)
         dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
@@ -194,7 +194,7 @@ class SwinTransformer(nn.Module):
                 x = PatchMerging(dim * 2, name=f"merge{stage}")(x)
 
         b, h, w, c = x.shape
-        x = nn.LayerNorm(name="norm")(x.reshape(b, h * w, c))
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x.reshape(b, h * w, c))
         return x  # (B, L, C_last)
 
 
