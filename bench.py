@@ -11,6 +11,7 @@ forces a host transfer; the measured tunnel roundtrip is subtracted.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -18,6 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+os.makedirs("/root/.jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
 TARGET = 5000.0

@@ -267,6 +267,9 @@ def _fwd_call(
             jax.ShapeDtypeStruct((batch, nl, n, dp), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((n, block_d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(u_p, dt_p, at_p, b_p, c_p, dv_p, db_p)
     return y[:, :seq_len, :d_total], carries
@@ -351,6 +354,9 @@ def _core_bwd(delta_softplus, chunk, block_d, interpret, res, dy):
             jax.ShapeDtypeStruct((batch, 1, dp), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((n, block_d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(u_p, dt_p, at_p, b_p, c_p, dv_p, db_p, carries, dy_p)
 

@@ -1,0 +1,81 @@
+"""Fused ViT block kernels vs unfused reference (values + grads)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medical_image_analysis_tpu.ops.vit_block import (
+    _attn_unfused,
+    _mlp_unfused,
+    fused_attn_block,
+    fused_mlp_block,
+)
+
+
+def _weights(key, d, hidden):
+    ks = jax.random.split(key, 6)
+    return dict(
+        wqkv=jax.random.normal(ks[0], (d, 3 * d)) * 0.1,
+        bqkv=jax.random.normal(ks[1], (3 * d,)) * 0.1,
+        wo=jax.random.normal(ks[2], (d, d)) * 0.1,
+        bo=jnp.zeros((d,)),
+        w1=jax.random.normal(ks[3], (d, hidden)) * 0.1,
+        b1=jnp.zeros((hidden,)),
+        w2=jax.random.normal(ks[4], (hidden, d)) * 0.1,
+        b2=jnp.zeros((d,)),
+        g=jnp.ones((d,)),
+        b=jnp.zeros((d,)),
+    )
+
+
+def test_fused_blocks_match_unfused():
+    d, h = 32, 4
+    w = _weights(jax.random.PRNGKey(0), d, 4 * d)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, d))
+    ya = fused_attn_block(
+        x, w["wqkv"], w["bqkv"], w["wo"], w["bo"], w["g"], w["b"], h, 2, True
+    )
+    ra = _attn_unfused(
+        x, w["wqkv"], w["bqkv"], w["wo"], w["bo"], w["g"], w["b"], h
+    )
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(ra), rtol=1e-4,
+                               atol=1e-5)
+    ym = fused_mlp_block(
+        x, w["w1"], w["b1"], w["w2"], w["b2"], w["g"], w["b"], 2, True
+    )
+    rm = _mlp_unfused(x, w["w1"], w["b1"], w["w2"], w["b2"], w["g"], w["b"])
+    np.testing.assert_allclose(np.asarray(ym), np.asarray(rm), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_fused_block_gradients_match():
+    d, h = 16, 2
+    w = _weights(jax.random.PRNGKey(2), d, 2 * d)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, d))
+
+    def loss_fused(x, wq):
+        y = fused_attn_block(
+            x, wq, w["bqkv"], w["wo"], w["bo"], w["g"], w["b"], h, 2, True
+        )
+        return jnp.sum(
+            fused_mlp_block(
+                y, w["w1"], w["b1"], w["w2"], w["b2"], w["g"], w["b"], 2,
+                True,
+            ) ** 2
+        )
+
+    def loss_ref(x, wq):
+        y = _attn_unfused(
+            x, wq, w["bqkv"], w["wo"], w["bo"], w["g"], w["b"], h
+        )
+        return jnp.sum(
+            _mlp_unfused(y, w["w1"], w["b1"], w["w2"], w["b2"], w["g"],
+                         w["b"]) ** 2
+        )
+
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, w["wqkv"])
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w["wqkv"])
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
+                               rtol=1e-4, atol=1e-5)
