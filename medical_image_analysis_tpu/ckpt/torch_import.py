@@ -72,7 +72,11 @@ def replicate_dir_weights(sd: Mapping[str, np.ndarray]) -> dict:
         for i, p in enumerate(parts):
             if p in stems:
                 for suffix in ("_b", "_c", "_c_b"):
-                    nk = ".".join(parts[:i] + [p + suffix] + parts[i + 1:])
+                    # A_log twins are named A_b_log etc. (CLIP.py:37-60)
+                    twin = (
+                        f"A{suffix}_log" if p == "A_log" else p + suffix
+                    )
+                    nk = ".".join(parts[:i] + [twin] + parts[i + 1:])
                     if nk not in out:
                         out[nk] = v
                 break
@@ -209,6 +213,68 @@ def swin_hf_to_flax(
                     "kernel": t(p + "reduction.weight")[perm],
                 },
             }
+    return {"params": _to_jnp(params)}
+
+
+def arm_torch_to_flax(sd: Mapping[str, np.ndarray], depth: int) -> dict:
+    """Reference ARM (bimamba v3) state_dict -> :class:`..models.mamba.ARM`
+    params. Covers the 4-direction suffix convention
+    (``mamba_simple.py``: conv1d/x_proj/dt_proj/A_log/D with
+    ``''/_b/_c/_c_b`` twins) by stacking into the (K, ...) params; also
+    handles stage-1 checkpoints after :func:`replicate_dir_weights`.
+    """
+    sufs = ["", "_b", "_c", "_c_b"]
+
+    def stack(prefix, name_fmt, transform):
+        return np.stack(
+            [transform(sd[f"{prefix}.{name_fmt.format(s=s)}"]) for s in sufs]
+        )
+
+    params = {
+        "patch_embed": {
+            "proj": {
+                "kernel": np.ascontiguousarray(
+                    sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0)
+                ),
+                "bias": sd["patch_embed.proj.bias"],
+            }
+        },
+        "cls_token": sd["cls_token"],
+        "pos_embed": sd["pos_embed"],
+        "norm_f": {
+            "scale": sd["norm_f.weight"],
+            "bias": sd["norm_f.bias"],
+        },
+    }
+    for i in range(depth):
+        p = f"layers.{i}.mixer"
+        layer = {
+            "norm": {"scale": sd[f"layers.{i}.norm.weight"]},
+            "mixer": {
+                "in_proj": {
+                    "kernel": np.ascontiguousarray(
+                        sd[f"{p}.in_proj.weight"].T
+                    )
+                },
+                "out_proj": {
+                    "kernel": np.ascontiguousarray(
+                        sd[f"{p}.out_proj.weight"].T
+                    )
+                },
+                # torch conv1d weight (din, 1, K) -> (K, din) per direction
+                "conv_w": stack(p, "conv1d{s}.weight",
+                                lambda w: w[:, 0, :].T),
+                "conv_b": stack(p, "conv1d{s}.bias", lambda b: b),
+                "x_proj_w": stack(p, "x_proj{s}.weight", lambda w: w),
+                "dt_proj_w": stack(p, "dt_proj{s}.weight", lambda w: w),
+                "dt_bias": stack(p, "dt_proj{s}.bias", lambda b: b),
+                "A_log": stack(p, "A{s}_log", lambda a: a),
+                "D": stack(p, "D{s}", lambda d: d),
+            },
+        }
+        if f"layers.{i}.norm.bias" in sd:  # LayerNorm variant
+            layer["norm"]["bias"] = sd[f"layers.{i}.norm.bias"]
+        params[f"layers_{i}"] = layer
     return {"params": _to_jnp(params)}
 
 

@@ -48,12 +48,14 @@ class EMRRG(nn.Module, MRGMixin):
     arm_kwargs: Any = None
     cross_every: int = 4
     gate_fn: str = "tanh"
+    text_only_cross: bool = False  # onlytext2media variant (:699-779)
 
     def setup(self):
         self.vision = ARM(**(self.arm_kwargs or {}), name="vision")
         self.llm = HybridTransformerLM(
             self.llm_cfg, cross_every=self.cross_every,
-            gate_fn=self.gate_fn, name="llm",
+            gate_fn=self.gate_fn, text_only_cross=self.text_only_cross,
+            name="llm",
         )
         self.proj_norm = nn.LayerNorm(name="proj_norm")
         self.proj = nn.Dense(self.llm_cfg.dim, name="proj")
@@ -72,7 +74,17 @@ class EMRRG(nn.Module, MRGMixin):
                  target_mask, deterministic=True):
         slow, fast = self.encode_img(images, deterministic)
         prompt = self._wrap(slow, before_ids, after_ids)
-        return self._loss(prompt, target_ids, target_mask, vision=fast)
+        kwargs = {"vision": fast}
+        if self.text_only_cross:
+            # gate cross-attention off on the visual token span.
+            b = prompt.shape[0]
+            lb, lv = before_ids.shape[1], slow.shape[1]
+            la, lt = after_ids.shape[1], target_ids.shape[1]
+            kwargs["text_mask"] = jnp.concatenate(
+                [jnp.ones((b, lb)), jnp.zeros((b, lv)),
+                 jnp.ones((b, la + lt))], axis=1,
+            )
+        return self._loss(prompt, target_ids, target_mask, **kwargs)
 
     def generate(self, images, before_ids, after_ids,
                  gcfg: GenerateConfig = GenerateConfig()):

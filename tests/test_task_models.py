@@ -143,3 +143,13 @@ def test_mac_rrg():
     out = m.apply(params, imgs, rag, conc, before, after, GCFG,
                   method=MACRRG.generate)
     assert out.shape == (2, 4)
+
+
+def test_emrrg_text_only_cross():
+    m = EMRRG(llm_cfg=TINY_LLM, arm_kwargs=ARM_KW, cross_every=2,
+              text_only_cross=True)
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    before, after, tgt, mask = _text()
+    params = m.init(jax.random.PRNGKey(1), imgs, before, after, tgt, mask)
+    loss = m.apply(params, imgs, before, after, tgt, mask)
+    assert bool(jnp.isfinite(loss))
