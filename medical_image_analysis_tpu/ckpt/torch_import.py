@@ -278,6 +278,95 @@ def arm_torch_to_flax(sd: Mapping[str, np.ndarray], depth: int) -> dict:
     return {"params": _to_jnp(params)}
 
 
+def vssm_torch_to_flax(
+    sd: Mapping[str, np.ndarray], depths: list[int], mlp: bool = True
+) -> dict:
+    """Reference VMamba ``VSSM`` state_dict -> :class:`..models.vmamba.VSSM`
+    params (vmamba.py: v1 patch embed, v3 downsample, SS2D with stacked
+    ``x_proj_weight``/``dt_projs_*``/``A_logs``/``Ds`` — :641-655)."""
+
+    def t(name):
+        return np.ascontiguousarray(sd[name].T)
+
+    params = {
+        "patch_embed": {
+            "kernel": np.ascontiguousarray(
+                sd["patch_embed.0.weight"].transpose(2, 3, 1, 0)
+            ),
+            "bias": sd["patch_embed.0.bias"],
+        },
+        "patch_norm": {
+            "scale": sd["patch_embed.2.weight"],
+            "bias": sd["patch_embed.2.bias"],
+        },
+        "norm": {
+            "scale": sd["classifier.norm.weight"],
+            "bias": sd["classifier.norm.bias"],
+        },
+    }
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            p = f"layers.{s}.blocks.{b}."
+            op = p + "op."
+            k_din, n = sd[op + "A_logs"].shape
+            k = sd[op + "x_proj_weight"].shape[0]
+            din = k_din // k
+            block = {
+                "norm": {
+                    "scale": sd[p + "norm.weight"],
+                    "bias": sd[p + "norm.bias"],
+                },
+                "op": {
+                    "in_proj": {"kernel": t(op + "in_proj.weight")},
+                    "conv2d": {
+                        "kernel": np.ascontiguousarray(
+                            sd[op + "conv2d.weight"].transpose(2, 3, 1, 0)
+                        ),
+                        "bias": sd[op + "conv2d.bias"],
+                    },
+                    "x_proj_w": sd[op + "x_proj_weight"],
+                    "dt_proj_w": sd[op + "dt_projs_weight"],
+                    "dt_bias": sd[op + "dt_projs_bias"],
+                    "A_log": sd[op + "A_logs"].reshape(k, din, n),
+                    "D": sd[op + "Ds"].reshape(k, din),
+                    "out_norm": {
+                        "scale": sd[op + "out_norm.weight"],
+                        "bias": sd[op + "out_norm.bias"],
+                    },
+                    "out_proj": {"kernel": t(op + "out_proj.weight")},
+                },
+            }
+            if mlp and p + "norm2.weight" in sd:
+                block["norm2"] = {
+                    "scale": sd[p + "norm2.weight"],
+                    "bias": sd[p + "norm2.bias"],
+                }
+                block["mlp"] = {
+                    "fc1": {
+                        "kernel": t(p + "mlp.fc1.weight"),
+                        "bias": sd[p + "mlp.fc1.bias"],
+                    },
+                    "fc2": {
+                        "kernel": t(p + "mlp.fc2.weight"),
+                        "bias": sd[p + "mlp.fc2.bias"],
+                    },
+                }
+            params[f"stage{s}_block{b}"] = block
+        if s < len(depths) - 1:
+            d = f"layers.{s}.downsample."
+            params[f"downsample{s}"] = {
+                "kernel": np.ascontiguousarray(
+                    sd[d + "1.weight"].transpose(2, 3, 1, 0)
+                ),
+                "bias": sd[d + "1.bias"],
+            }
+            params[f"downsample_norm{s}"] = {
+                "scale": sd[d + "3.weight"],
+                "bias": sd[d + "3.bias"],
+            }
+    return {"params": _to_jnp(params)}
+
+
 def _to_jnp(tree):
     if isinstance(tree, dict):
         return {k: _to_jnp(v) for k, v in tree.items()}

@@ -113,11 +113,29 @@ def _mlp_unfused(x, w1, b1, w2, b2, g, b):
     return x + (hidden.astype(x.dtype) @ w2 + b2).astype(x.dtype)
 
 
-def _block_call(kernel, x, weights, extra_kwargs, g_batch, interpret):
+def _attn_stack_bytes(gb, l, d, hidden_unused=None):
+    # calibrated against measured Mosaic stack sizes (16.0M at gb=4,
+    # l=145, d=768; 17.1M at gb=2, l=401, d=512).
+    return 4 * gb * l * (8 * d + 3 * l)
+
+
+def _mlp_stack_bytes(gb, l, d, hidden):
+    # calibrated: 22.25M at gb=4, l=145, d=768, hidden=3072.
+    return int(4 * gb * l * (2 * d + 2.75 * hidden))
+
+
+_VMEM_BUDGET = 16 * 1024 * 1024
+
+
+def _block_call(kernel, x, weights, extra_kwargs, g_batch, interpret,
+                stack_bytes=None):
     b, l, d = x.shape
     gb = g_batch
     if x.dtype.itemsize >= 4:  # f32 doubles VMEM pressure
         gb = max(gb // 2, 1)
+    if stack_bytes is not None:
+        while gb > 1 and stack_bytes(gb) > _VMEM_BUDGET:
+            gb //= 2
     while gb > 1 and b % gb != 0:
         gb //= 2
     specs = [pl.BlockSpec((gb, l, d), lambda i: (i, 0, 0))]
@@ -142,9 +160,11 @@ def fused_attn_block(x, wqkv, bqkv, wo, bo, ln_g, ln_b, heads,
                      g_batch=4, interpret=None):
     if interpret is None:
         interpret = _interpret_default()
+    l, d = x.shape[1], x.shape[2]
     return _block_call(
         _attn_block_kernel, x, (wqkv, bqkv, wo, bo, ln_g, ln_b),
         {"heads": heads}, g_batch, interpret,
+        stack_bytes=lambda gb: _attn_stack_bytes(gb, l, d),
     )
 
 
@@ -171,9 +191,12 @@ def fused_mlp_block(x, w1, b1, w2, b2, ln_g, ln_b, g_batch=2,
                     interpret=None):
     if interpret is None:
         interpret = _interpret_default()
+    l, d = x.shape[1], x.shape[2]
+    hidden = w1.shape[1]
     return _block_call(
         _mlp_block_kernel, x, (w1, b1, w2, b2, ln_g, ln_b), {},
         g_batch, interpret,
+        stack_bytes=lambda gb: _mlp_stack_bytes(gb, l, d, hidden),
     )
 
 
