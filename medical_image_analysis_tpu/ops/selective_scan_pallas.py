@@ -211,16 +211,15 @@ def _selective_scan_core(
     return y
 
 
-def _specs(batch, lp, dp, chunk, bd, n, n_groups, nd):
-    """BlockSpecs shared by fwd/bwd. Returns dict of lambdas."""
-    gd = {  # index maps keyed by array kind; args are (b, d, l)
+def _specs(n_groups):
+    """Index maps shared by fwd/bwd, keyed by array kind; args (b, d, l)."""
+    return {
         "seq": lambda b, d, l: (b, l, d),           # (batch, L, D) -> (1, chunk, bd)
         "param": lambda b, d, l: (b % n_groups, 0, d),  # (G, N, D) -> (1, N, bd)
         "vec": lambda b, d, l: (b % n_groups, 0, d),  # (G, 1, D) -> (1, 1, bd)
         "bc": lambda b, d, l: (b, l, 0),            # (batch, L, N) -> (1, chunk, N)
         "car": lambda b, d, l: (b, l, 0, d),        # (batch, nl, N, D)
     }
-    return gd
 
 
 def _fwd_call(
@@ -242,7 +241,7 @@ def _fwd_call(
 
     lp, dp = u_p.shape[1], u_p.shape[2]
     nl, ndb = lp // chunk, dp // block_d
-    im = _specs(batch, lp, dp, chunk, block_d, n, n_groups, ndb)
+    im = _specs(n_groups)
 
     y, carries = pl.pallas_call(
         functools.partial(
@@ -317,7 +316,7 @@ def _core_bwd(delta_softplus, chunk, block_d, interpret, res, dy):
     def rev_bc_part(b, d, l):
         return (b, d, nl - 1 - l, 0)
 
-    im = _specs(batch, lp, dp, chunk, block_d, n, n_groups, ndb)
+    im = _specs(n_groups)
 
     outs = pl.pallas_call(
         functools.partial(

@@ -19,11 +19,9 @@ the collective payload is O(B*D*N), independent of L.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.selective_scan import _broadcast_groups, _scan_combine
 
