@@ -56,6 +56,9 @@ class TrainConfig:
     freeze_llm: bool = True
     lora_llm: bool = False
     lora_rank: int = 16
+    accum_steps: int = 1  # ref --accumulate_grad_batches (config.py:86)
+    remat: bool = False  # activation ckpt (ref use_checkpoint vmamba.py:1386)
+    zero_opt: bool = True  # ZeRO-1 analog of the deepspeed strategy flag
     seed: int = 42
     log_every: int = 10
     val_every_epochs: int = 1

@@ -33,6 +33,9 @@ class LLMConfig:
     rope_theta: float = 10000.0
     norm_eps: float = 1e-5
     tie_embeddings: bool = False
+    attn_bias: bool = False  # Qwen2 q/k/v biases
+    quant_int8: bool = False  # int8 weights + per-column scales
+    remat: bool = False  # activation checkpointing per block
     dtype: Any = jnp.bfloat16
 
     @property
@@ -69,6 +72,42 @@ def _rope(q: jax.Array, k: jax.Array, positions: jax.Array, theta: float):
     return rot(q), rot(k)
 
 
+class QuantDense(nn.Module):
+    """int8-weight Dense: kernel stored int8 in HBM with per-output-column
+    fp32 scales, dequantized into the matmul (XLA fuses the cast+scale).
+    The TPU analog of the reference's ``load_in_8bit`` low-resource LLM
+    path (``R2GenCSR.py:146-152``) — halves 7B weight memory vs bf16."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kq = self.param(
+            "kernel_q", nn.initializers.zeros,
+            (x.shape[-1], self.features), jnp.int8,
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        w = kq.astype(self.dtype) * scale.astype(self.dtype)[None, :]
+        y = x.astype(self.dtype) @ w
+        if self.use_bias:
+            y = y + self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            ).astype(self.dtype)
+        return y
+
+
+def _dense(cfg: LLMConfig, features: int, name: str, use_bias: bool = False):
+    if cfg.quant_int8:
+        return QuantDense(
+            features, dtype=cfg.dtype, use_bias=use_bias, name=name
+        )
+    return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
+
+
 class LlamaAttention(nn.Module):
     cfg: LLMConfig
 
@@ -77,9 +116,9 @@ class LlamaAttention(nn.Module):
         cfg = self.cfg
         b, l, _ = x.shape
         nh, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-        q = nn.Dense(nh * hd, use_bias=False, dtype=cfg.dtype, name="q_proj")(x)
-        k = nn.Dense(nkv * hd, use_bias=False, dtype=cfg.dtype, name="k_proj")(x)
-        v = nn.Dense(nkv * hd, use_bias=False, dtype=cfg.dtype, name="v_proj")(x)
+        q = _dense(cfg, nh * hd, "q_proj", cfg.attn_bias)(x)
+        k = _dense(cfg, nkv * hd, "k_proj", cfg.attn_bias)(x)
+        v = _dense(cfg, nkv * hd, "v_proj", cfg.attn_bias)(x)
         q = q.reshape(b, l, nh, hd)
         k = k.reshape(b, l, nkv, hd)
         v = v.reshape(b, l, nkv, hd)
@@ -107,7 +146,7 @@ class LlamaAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhls,bshd->blhd", attn.astype(v_all.dtype), v_all)
         out = out.reshape(b, l, nh * hd)
-        out = nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype, name="o_proj")(out)
+        out = _dense(cfg, cfg.dim, "o_proj")(out)
         return out, new_cache
 
 
@@ -117,11 +156,9 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        g = nn.Dense(cfg.hidden_dim, use_bias=False, dtype=cfg.dtype, name="gate_proj")(x)
-        u = nn.Dense(cfg.hidden_dim, use_bias=False, dtype=cfg.dtype, name="up_proj")(x)
-        return nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype, name="down_proj")(
-            nn.silu(g) * u
-        )
+        g = _dense(cfg, cfg.hidden_dim, "gate_proj")(x)
+        u = _dense(cfg, cfg.hidden_dim, "up_proj")(x)
+        return _dense(cfg, cfg.dim, "down_proj")(nn.silu(g) * u)
 
 
 class LlamaBlock(nn.Module):
@@ -153,15 +190,21 @@ class TransformerLM(nn.Module):
         self.embed_tokens = nn.Embed(
             cfg.vocab_size, cfg.dim, dtype=cfg.dtype, name="embed_tokens"
         )
+        block_cls = nn.remat(LlamaBlock) if cfg.remat else LlamaBlock
         self.layers = [
-            LlamaBlock(cfg, name=f"layers_{i}") for i in range(cfg.n_layers)
+            block_cls(cfg, name=f"layers_{i}") for i in range(cfg.n_layers)
         ]
         self.final_norm = nn.RMSNorm(epsilon=cfg.norm_eps, name="norm")
         if not cfg.tie_embeddings:
-            self.lm_head = nn.Dense(
-                cfg.vocab_size, use_bias=False, dtype=jnp.float32,
-                name="lm_head",
-            )
+            if cfg.quant_int8:
+                self.lm_head = QuantDense(
+                    cfg.vocab_size, dtype=jnp.float32, name="lm_head"
+                )
+            else:
+                self.lm_head = nn.Dense(
+                    cfg.vocab_size, use_bias=False, dtype=jnp.float32,
+                    name="lm_head",
+                )
 
     def embed(self, input_ids: jax.Array) -> jax.Array:
         return self.embed_tokens(input_ids)

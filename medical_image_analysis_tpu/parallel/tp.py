@@ -31,24 +31,39 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", k)) for k in path)
 
 
-def param_specs(params, rules=None):
+def param_specs(params, rules=None, mesh: Mesh | None = None):
     """Pytree of PartitionSpecs: TP rules where they match, replicated
-    elsewhere."""
+    elsewhere. With ``mesh``, a rule whose sharded dimension does not
+    divide evenly (e.g. an odd vocab size) falls back to replicated."""
     rules = rules or LLM_TP_RULES
+
+    def fits(leaf, s) -> bool:
+        if mesh is None:
+            return True
+        shape = getattr(leaf, "shape", ())
+        if len(shape) < len(s):
+            return False
+        for ax, name in enumerate(s):
+            if name is None:
+                continue
+            if shape[ax] % mesh.shape[name] != 0:
+                return False
+        return True
 
     def spec(path, leaf):
         p = _path_str(path)
         for pat, s in rules:
             if re.search(pat, p):
-                return s
+                return s if fits(leaf, s) else P()
         return P()
 
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
 def shard_params(mesh: Mesh, params, rules=None):
-    """device_put params with TP shardings; downstream computations
-    (optimizer init, train steps) inherit them through jit."""
+    """device_put params with TP shardings. Recipes go through
+    ``train.train_state.shard_state`` (params + ZeRO opt moments); this
+    is the params-only form for inference/serving."""
     specs = param_specs(params, rules)
     return jax.tree_util.tree_map(
         lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)),

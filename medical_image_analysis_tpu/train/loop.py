@@ -39,21 +39,43 @@ from ..models.vit import MAE
 from ..models.vision_mamba_ar import VisionMambaAR
 from ..models.vmamba import VSSM_CONFIGS
 from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.tp import param_specs as tp_param_specs
+from ..peft.lora import apply_lora, init_lora, llama_qv_rules
 from ..utils.logging import JsonlLogger, MetricLogger
 from ..utils.profiling import enable_debug_nans
 from .optim import make_adamw, scaled_lr, warmup_cosine
-from .train_state import TrainState, make_train_step
+from .train_state import TrainState, make_train_step, shard_state
 
 
-def _mesh_for(batch_size: int, mesh_data: int = -1):
-    """Data-parallel mesh over as many devices as divide the batch."""
+def _mesh_for(batch_size: int, mesh_data: int = -1, mesh_model: int = 1):
+    """(data, model) mesh: model axis as requested (clamped to divide the
+    device count), data over the rest as divides the batch."""
     n = len(jax.devices())
-    d = n if mesh_data in (-1, 0) else min(mesh_data, n)
+    model = max(1, min(mesh_model, n))
+    while n % model != 0:
+        model -= 1
+    avail = n // model
+    d = avail if mesh_data in (-1, 0) else min(mesh_data, avail)
     while d > 1 and batch_size % d != 0:
         d -= 1
-    if d <= 1:
+    if d <= 1 and model <= 1:
         return None
-    return make_mesh(data=d, devices=jax.devices()[:d])
+    return make_mesh(
+        data=d, model=model, devices=jax.devices()[: d * model]
+    )
+
+
+def _finalize_step(loss_fn, tx, state, mesh, t, specs=None):
+    """Shard the state on the mesh (TP params + ZeRO opt moments) and
+    build the pjit train step with gradient accumulation."""
+    if mesh is not None:
+        state = shard_state(state, mesh, specs, zero_opt=t.zero_opt)
+    step = make_train_step(
+        loss_fn, tx, mesh=mesh, param_specs=specs,
+        accum_steps=t.accum_steps, zero_opt=t.zero_opt,
+        state_for_shardings=state if mesh is not None else None,
+    )
+    return state, step
 
 
 def vision_preset(family: str, size: str, extra: dict | None = None) -> dict:
@@ -93,6 +115,10 @@ def build_mrg_model(cfg: RunConfig, vocab_size: int):
         LLM_CONFIGS[m.llm], vocab_size=vocab_size, **(m.llm_kwargs or {})
     )
     vk = vision_preset(m.vision, m.vision_size, m.vision_kwargs)
+    if cfg.train.remat:
+        llm_cfg = dataclasses.replace(llm_cfg, remat=True)
+        if m.vision == "arm":
+            vk.setdefault("remat", True)
     if m.task == "r2gencsr":
         return R2GenCSR(llm_cfg=llm_cfg, chosen=m.vision, vision_kwargs=vk)
     if m.task == "emrrg":
@@ -150,31 +176,63 @@ def fit_mrg(cfg: RunConfig) -> dict:
     init_args = [jnp.asarray(first[k]) for k in keys]
     params = model.init(jax.random.PRNGKey(t.seed), *init_args)
 
-    mesh = _mesh_for(cfg.data.batch_size, t.mesh_data)
+    # LoRA on the LLM q/v projections (the reference's HF-peft default,
+    # R2GenCSR.py:160-175) — trained alongside the unfrozen towers.
+    lora_rules = llama_qv_rules(t.lora_rank) if t.lora_llm else None
+    if t.lora_llm:
+        lora = init_lora(
+            jax.random.PRNGKey(t.seed + 2), params, lora_rules
+        )
+        train_params = {"base": params, "lora": lora}
+
+        def merged(p):
+            return apply_lora(p["base"], p["lora"], lora_rules)
+
+        mask = {
+            "base": trainable_mask(params, t.freeze_llm),
+            "lora": jax.tree_util.tree_map(lambda _: True, lora),
+        }
+    else:
+        train_params = params
+        merged = lambda p: p  # noqa: E731
+        mask = trainable_mask(params, t.freeze_llm)
+
+    assert cfg.data.batch_size % max(t.accum_steps, 1) == 0, (
+        "batch_size must be divisible by accum_steps"
+    )
+    mesh = _mesh_for(
+        cfg.data.batch_size // max(t.accum_steps, 1),
+        t.mesh_data, t.mesh_model,
+    )
+    specs = (
+        tp_param_specs(train_params, mesh=mesh)
+        if mesh is not None
+        else None
+    )
     steps_per_epoch = max(len(ann["train"]) // cfg.data.batch_size, 1)
     total = steps_per_epoch * t.epochs
     lr = t.lr if t.blr <= 0 else scaled_lr(
         t.blr, cfg.data.batch_size
     )
     sched = warmup_cosine(lr, t.warmup_steps, total)
-    mask = trainable_mask(params, t.freeze_llm)
     tx = make_adamw(
         sched, weight_decay=t.weight_decay, grad_clip=t.grad_clip,
-        params_for_mask=params, trainable_mask=mask,
+        params_for_mask=train_params, trainable_mask=mask,
     )
-    state = TrainState.create(params, tx)
+    state = TrainState.create(train_params, tx)
 
-    def loss_fn(params, batch, rng):
-        return model.apply(params, *[batch[k] for k in keys])
+    def loss_fn(p, batch, rng):
+        return model.apply(merged(p), *[batch[k] for k in keys])
 
-    step = make_train_step(loss_fn, tx, mesh=mesh)
+    state, step = _finalize_step(loss_fn, tx, state, mesh, t, specs)
     gen_keys = _CSR_GEN if is_csr else _GEN_KEYS
     gen_method = type(model).generate
 
     @jax.jit
-    def gen_fn(params, batch):
+    def gen_fn(p, batch):
         return model.apply(
-            params, *[batch[k] for k in gen_keys], gcfg, method=gen_method
+            merged(p), *[batch[k] for k in gen_keys], gcfg,
+            method=gen_method,
         )
 
     rng = jax.random.PRNGKey(t.seed + 1)
@@ -256,7 +314,7 @@ def fit_mae(cfg: RunConfig) -> dict:
         )
         return loss
 
-    step = make_train_step(loss_fn, tx, mesh=mesh)
+    state, step = _finalize_step(loss_fn, tx, state, mesh, t)
     ml = MetricLogger()
     for epoch in range(t.epochs):
         for batch in ml.log_every(
@@ -288,7 +346,7 @@ def fit_ar(cfg: RunConfig) -> dict:
     def loss_fn(params, batch, rng):
         return model.apply(params, batch["images"][:, 0])
 
-    step = make_train_step(loss_fn, tx, mesh=mesh)
+    state, step = _finalize_step(loss_fn, tx, state, mesh, t)
     ml = MetricLogger()
     rng = jax.random.PRNGKey(t.seed + 1)
     for epoch in range(t.epochs):
@@ -333,7 +391,7 @@ def fit_clip(cfg: RunConfig) -> dict:
             batch["target_mask"],
         )
 
-    step = make_train_step(loss_fn, tx, mesh=mesh)
+    state, step = _finalize_step(loss_fn, tx, state, mesh, t)
     ml = MetricLogger()
     rng = jax.random.PRNGKey(0)
     for epoch in range(t.epochs):
@@ -374,7 +432,7 @@ def fit_classify(cfg: RunConfig) -> dict:
         logits = model.apply(params, batch["images"][:, 0])
         return swinchex_loss(logits, batch["labels"])
 
-    step = make_train_step(loss_fn, tx, mesh=mesh)
+    state, step = _finalize_step(loss_fn, tx, state, mesh, t)
     ml = MetricLogger()
     rng = jax.random.PRNGKey(0)
     for epoch in range(t.epochs):

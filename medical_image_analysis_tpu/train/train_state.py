@@ -2,14 +2,22 @@
 recipe (SURVEY.md §7: "one pjit step-function factory").
 
 Replaces Lightning's Trainer/DDP and the raw torchrun loops
-(``R2GenCSR/train.py:18-31``, ``main_pretrain.py:100-205``): parameters
-replicated (or model-sharded) on the mesh, batch sharded over ``data``,
-gradient psum inserted by the compiler, buffers donated.
+(``R2GenCSR/train.py:18-31``, ``main_pretrain.py:100-205``):
+
+- data parallelism: batch sharded over ``data``, gradient psum inserted
+  by the compiler (the DDP/NCCL analog, SURVEY.md §2.8);
+- tensor parallelism: ``param_specs`` (e.g. from
+  :func:`..parallel.tp.param_specs`) shard the LLM kernels over
+  ``model``;
+- ZeRO-1 analog (the reference's ``--strategy deepspeed``): optimizer
+  moments sharded over ``data`` via :func:`zero_opt_specs`;
+- gradient accumulation (``--accumulate_grad_batches``,
+  ``R2GenCSR/configs/config.py:86``; ``accum_iter`` loop
+  ``engine_pretrain.py:36-53``): ``lax.scan`` over microbatches.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax
@@ -35,21 +43,120 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def zero_opt_specs(opt_state, mesh, min_size: int = 1 << 14):
+    """ZeRO-1-style PartitionSpecs for optimizer state: shard the first
+    axis divisible by the ``data`` axis size over ``data``; small leaves
+    stay replicated. This is the TPU-native analog of the reference's
+    DeepSpeed strategy flag (SURVEY.md §2.8)."""
+    dsz = mesh.shape["data"]
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        if not shape or leaf.size < min_size:
+            return P()
+        for ax, dim in enumerate(shape):
+            if dim % dsz == 0 and dim >= dsz:
+                parts = [None] * len(shape)
+                parts[ax] = "data"
+                return P(*parts)
+        return P()
+
+    return jax.tree_util.tree_map(spec, opt_state)
+
+
+def state_shardings(
+    state: TrainState, mesh, param_specs=None, zero_opt: bool = True
+):
+    """NamedSharding pytree for a TrainState: params per ``param_specs``
+    (replicated by default), opt state ZeRO-sharded over ``data``."""
+    repl = replicated(mesh)
+
+    def ns(s):
+        return NamedSharding(mesh, s)
+
+    if param_specs is None:
+        p_shard = jax.tree_util.tree_map(lambda _: repl, state.params)
+    else:
+        p_shard = jax.tree_util.tree_map(ns, param_specs,
+                                         is_leaf=lambda x: isinstance(x, P))
+    if zero_opt:
+        o_shard = jax.tree_util.tree_map(
+            ns, zero_opt_specs(state.opt_state, mesh),
+            is_leaf=lambda x: isinstance(x, P),
+        )
+    else:
+        o_shard = jax.tree_util.tree_map(lambda _: repl, state.opt_state)
+    return TrainState(step=repl, params=p_shard, opt_state=o_shard)
+
+
+def shard_state(state: TrainState, mesh, param_specs=None,
+                zero_opt: bool = True) -> TrainState:
+    """device_put a TrainState with the computed shardings."""
+    sh = state_shardings(state, mesh, param_specs, zero_opt)
+    return jax.tree_util.tree_map(jax.device_put, state, sh)
+
+
+def _accum_value_and_grad(loss_fn, accum_steps: int):
+    """Average loss/grads over ``accum_steps`` microbatches split off
+    the leading batch axis (reference ``accum_iter`` semantics)."""
+
+    def vag(params, batch, rng):
+        def reshape(x):
+            b = x.shape[0]
+            return x.reshape((accum_steps, b // accum_steps) + x.shape[1:])
+
+        micro = jax.tree_util.tree_map(reshape, batch)
+        rngs = jax.random.split(rng, accum_steps)
+        zero_g = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+
+        def body(carry, xs):
+            loss_acc, g_acc = carry
+            mb, r = xs
+            loss, g = jax.value_and_grad(loss_fn)(params, mb, r)
+            g_acc = jax.tree_util.tree_map(
+                lambda a, b: a + b.astype(jnp.float32), g_acc, g
+            )
+            return (loss_acc + loss, g_acc), None
+
+        (loss_sum, g_sum), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32), zero_g), (micro, rngs)
+        )
+        inv = 1.0 / accum_steps
+        grads = jax.tree_util.tree_map(
+            lambda g, p: (g * inv).astype(p.dtype), g_sum, params
+        )
+        return loss_sum * inv, grads
+
+    return vag
+
+
 def make_train_step(
     loss_fn: Callable,  # (params, batch, rng) -> scalar loss
     tx: optax.GradientTransformation,
     mesh=None,
+    param_specs=None,
+    accum_steps: int = 1,
+    zero_opt: bool = True,
     donate: bool = True,
+    state_for_shardings: TrainState | None = None,
 ):
     """Returns jitted ``step(state, batch, rng) -> (state, metrics)``.
 
-    With a mesh, the state is replicated and the batch sharded on
-    ``data``; XLA inserts the gradient all-reduce (the DDP/NCCL
-    equivalent, SURVEY.md §2.8).
+    With a mesh, the batch is sharded on ``data`` and the state sharded
+    per :func:`state_shardings` — params follow ``param_specs`` (TP over
+    ``model``), optimizer moments are ZeRO-sharded over ``data``. XLA
+    inserts the gradient all-reduce and the opt-state collectives.
     """
+    vag = (
+        jax.value_and_grad(loss_fn)
+        if accum_steps <= 1
+        else _accum_value_and_grad(loss_fn, accum_steps)
+    )
 
     def step(state: TrainState, batch, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        loss, grads = vag(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
@@ -63,10 +170,16 @@ def make_train_step(
 
     repl = replicated(mesh)
     data = batch_sharding(mesh)
+    if state_for_shardings is not None:
+        st_sh = state_shardings(
+            state_for_shardings, mesh, param_specs, zero_opt
+        )
+    else:
+        st_sh = repl  # legacy: fully replicated state
     return jax.jit(
         step,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(st_sh, data, repl),
+        out_shardings=(st_sh, repl),
         donate_argnums=(0,) if donate else (),
     )
 

@@ -83,3 +83,19 @@ def test_fit_classify_synthetic():
     cfg = _base_cfg("swinchex", vision_kwargs=TINY_SWIN)
     out = fit(cfg)
     assert out["loss"] > 0
+
+
+def test_fit_mrg_tp_lora_accum_remat():
+    """Recipe-level: R2GenGPT on a (data, model) mesh with LoRA'd frozen
+    LLM, gradient accumulation, and remat (VERDICT round-1 item 3)."""
+    cfg = _base_cfg(
+        "r2gengpt", vision="arm", vision_kwargs=dict(TINY_ARM),
+        llm_kwargs=TINY_LLM_KW,
+    )
+    cfg.train.mesh_model = 2
+    cfg.train.lora_llm = True
+    cfg.train.lora_rank = 2
+    cfg.train.accum_steps = 2
+    cfg.train.remat = True
+    scores = fit(cfg)
+    assert "Bleu_4" in scores

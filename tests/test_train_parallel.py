@@ -190,3 +190,89 @@ def test_orbax_full_roundtrip():
         np.testing.assert_allclose(
             np.asarray(restored["a"]), np.asarray(params["a"])
         )
+
+
+def test_accum_steps_equals_full_batch():
+    """accumulate_grad_batches semantics: accum=2 over a batch equals one
+    full-batch step (equal microbatch sizes, mean-reduced loss)."""
+
+    def fresh():
+        return {"w": jnp.ones((4,)), "b": jnp.zeros(())}
+
+    def loss_fn(p, batch, rng):
+        pred = batch["x"] @ p["w"] + p["b"]
+        return jnp.mean((pred - batch["y"]) ** 2)
+
+    tx = make_adamw(1e-2, params_for_mask=fresh())
+    batch = {
+        "x": jnp.asarray(
+            np.random.default_rng(1).standard_normal((8, 4)), jnp.float32
+        ),
+        "y": jnp.zeros((8,), jnp.float32),
+    }
+    rng = jax.random.PRNGKey(0)
+    s1 = TrainState.create(fresh(), tx)
+    s1, m1 = make_train_step(loss_fn, tx)(s1, batch, rng)
+    s2 = TrainState.create(fresh(), tx)
+    s2, m2 = make_train_step(loss_fn, tx, accum_steps=2)(s2, batch, rng)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["w"]), np.asarray(s2.params["w"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+    )
+
+
+def test_tp_zero_sharded_step_update_equality():
+    """(data=4, model=2) mesh with TP param specs + ZeRO opt-state
+    sharding + accumulation: same update as the unsharded step."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from medical_image_analysis_tpu.parallel.tp import param_specs
+    from medical_image_analysis_tpu.train.train_state import shard_state
+
+    mesh = make_mesh(data=4, model=2)
+
+    def fresh():
+        return {
+            "self_attn": {"q_proj": {"kernel": jnp.ones((8, 8)) * 0.1}},
+            "mlp": {"down_proj": {"kernel": jnp.ones((8, 4)) * 0.2}},
+            "norm": {"scale": jnp.ones((8,))},
+        }
+
+    def loss_fn(p, batch, rng):
+        h = batch["x"] @ p["self_attn"]["q_proj"]["kernel"]
+        h = h * p["norm"]["scale"]
+        out = h @ p["mlp"]["down_proj"]["kernel"]
+        return jnp.mean(out**2)
+
+    tx = make_adamw(1e-2, params_for_mask=fresh())
+    batch = {
+        "x": np.random.default_rng(2)
+        .standard_normal((8, 8))
+        .astype(np.float32)
+    }
+    rng = jax.random.PRNGKey(3)
+
+    specs = param_specs(fresh())
+    state = TrainState.create(fresh(), tx)
+    state = shard_state(state, mesh, specs, zero_opt=True)
+    step = make_train_step(
+        loss_fn, tx, mesh=mesh, param_specs=specs, accum_steps=2,
+        zero_opt=True, state_for_shardings=state,
+    )
+    sharded, m = step(state, shard_batch(mesh, batch), rng)
+
+    ref_state = TrainState.create(fresh(), tx)
+    ref_step = make_train_step(loss_fn, tx, accum_steps=2)
+    ref, mr = ref_step(
+        ref_state, {k: jnp.asarray(v) for k, v in batch.items()}, rng
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.params["self_attn"]["q_proj"]["kernel"]),
+        np.asarray(ref.params["self_attn"]["q_proj"]["kernel"]),
+        rtol=2e-6,
+    )
+    np.testing.assert_allclose(
+        float(m["loss"]), float(mr["loss"]), rtol=1e-6
+    )
