@@ -1,0 +1,135 @@
+"""Real-format HF assets end-to-end: safetensors loading (llama + qwen2
+with biases), int8 quantized weights, TP-sharded placement, and the fast
+BPE tokenizer bridge (VERDICT round-1 item 4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from medical_image_analysis_tpu.ckpt.hf_load import (
+    load_llm_params,
+    read_hf_config,
+)
+from medical_image_analysis_tpu.data.hf_tokenizer import HFTokenizer
+from medical_image_analysis_tpu.models.llm import TransformerLM
+
+CORPUS = [
+    "the heart size is within normal limits .",
+    "there is no focal consolidation pleural effusion or pneumothorax .",
+    "mild cardiomegaly with small bilateral pleural effusions .",
+    "the lungs are clear without evidence of acute disease .",
+] * 8
+
+
+def _save_tiny_qwen(tmp_path):
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    cfg = Qwen2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = Qwen2ForCausalLM(cfg).eval()
+    d = tmp_path / "qwen_tiny"
+    model.save_pretrained(d, safe_serialization=True)
+    return model, str(d)
+
+
+@pytest.fixture(scope="module")
+def qwen_ckpt(tmp_path_factory):
+    return _save_tiny_qwen(tmp_path_factory.mktemp("hf"))
+
+
+def _hf_logits(model, ids):
+    import torch
+
+    with torch.no_grad():
+        return model(torch.tensor(ids)).logits.float().numpy()
+
+
+def test_read_hf_config(qwen_ckpt):
+    _, d = qwen_ckpt
+    cfg = read_hf_config(d, dtype=jnp.float32)
+    assert cfg.vocab_size == 256 and cfg.n_layers == 2
+    assert cfg.n_kv_heads == 2 and cfg.attn_bias
+
+
+def test_safetensors_load_logit_parity(qwen_ckpt):
+    hf_model, d = qwen_ckpt
+    cfg = read_hf_config(d, dtype=jnp.float32)
+    params = load_llm_params(d, cfg, dtype=jnp.float32)
+    lm = TransformerLM(cfg)
+    ids = np.arange(24, dtype=np.int32).reshape(2, 12) + 3
+    ours = np.asarray(lm.apply(params, input_ids=jnp.asarray(ids)))
+    theirs = _hf_logits(hf_model, ids)
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_int8_load_close(qwen_ckpt):
+    hf_model, d = qwen_ckpt
+    cfg = read_hf_config(d, dtype=jnp.float32, quant_int8=True)
+    params = load_llm_params(d, cfg, dtype=jnp.float32, int8=True)
+    leaf = params["params"]["layers_0"]["self_attn"]["q_proj"]
+    assert leaf["kernel_q"].dtype == jnp.int8
+    lm = TransformerLM(cfg)
+    ids = np.arange(24, dtype=np.int32).reshape(2, 12) + 3
+    ours = np.asarray(lm.apply(params, input_ids=jnp.asarray(ids)))
+    theirs = _hf_logits(hf_model, ids)
+    # int8 weights: logits agree to quantization noise, ranking mostly kept.
+    assert np.mean(np.argmax(ours, -1) == np.argmax(theirs, -1)) > 0.8
+
+
+def test_tp_sharded_load(qwen_ckpt):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from medical_image_analysis_tpu.parallel.mesh import make_mesh
+
+    hf_model, d = qwen_ckpt
+    mesh = make_mesh(data=4, model=2)
+    cfg = read_hf_config(d, dtype=jnp.float32)
+    params = load_llm_params(d, cfg, dtype=jnp.float32, mesh=mesh)
+    k = params["params"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
+    assert "model" in str(k.sharding.spec)
+    lm = TransformerLM(cfg)
+    ids = np.arange(24, dtype=np.int32).reshape(2, 12) + 3
+    ours = np.asarray(lm.apply(params, input_ids=jnp.asarray(ids)))
+    theirs = _hf_logits(hf_model, ids)
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_bpe_tokenizer_roundtrip(tmp_path):
+    tok = HFTokenizer.train_bpe(CORPUS, vocab_size=512)
+    assert tok.vocab_size <= 512
+    ids = tok.encode("no pleural effusion .", add_bos=True, add_eos=True)
+    assert ids[0] == tok.BOS and ids[-1] == tok.EOS
+    assert tok.decode(ids) == "no pleural effusion ."
+    padded, mask = tok.pad(ids, 16)
+    assert len(padded) == 16 and sum(mask) == len(ids)
+    p = tmp_path / "tok.json"
+    tok.save(str(p))
+    tok2 = HFTokenizer.load(str(p))
+    assert tok2.encode("pleural effusion") == tok.encode("pleural effusion")
+
+
+def test_tokenizer_drops_into_batcher():
+    """The recipes' MRGBatcher accepts the HF tokenizer unchanged."""
+    from medical_image_analysis_tpu.data.datasets import (
+        MRGBatcher,
+        synthetic_annotations,
+        synthetic_image_loader,
+    )
+
+    ann = synthetic_annotations()
+    tok = HFTokenizer.train_bpe((s.report for s in ann["train"]), 512)
+    b = MRGBatcher(
+        ann["train"], tok, synthetic_image_loader(32, 1), batch_size=4,
+        max_len=16, num_views=1,
+    )
+    batch = next(b.batches(shuffle=False))
+    assert batch["target_ids"].shape == (4, 16)
+    assert batch["target_ids"].max() < tok.vocab_size
