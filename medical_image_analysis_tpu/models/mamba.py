@@ -113,12 +113,52 @@ class MambaMixer(nn.Module):
         self.a_log = self.param("A_log", _a_log_init, (k, d_inner, n))
         self.d_skip = self.param("D", nn.initializers.ones, (k, d_inner))
 
+    def _col_major(self, t, cls_pos):
+        """Row-major tokens -> column-major (with middle-cls splicing)."""
+        b, l, d = t.shape
+        if cls_pos is not None:
+            return spatial_transpose_with_cls(t, cls_pos)
+        s = int(round(l**0.5))
+        assert s * s == l, "v3 column scan needs square token grid"
+        return t.reshape(b, s, s, d).transpose(0, 2, 1, 3).reshape(b, l, d)
+
+    def _fused_call(self, xi, z, cls_pos):
+        """One fused-kernel launch for all K directions (conv + x_proj +
+        dt_proj + scan folded in; see ops/mamba_fused.py)."""
+        from ..ops.mamba_fused import mamba_fused_dirs
+
+        k = self._k
+        xc = self._col_major(xi, cls_pos) if k == 4 else None
+        a = -jnp.exp(self.a_log.astype(jnp.float32))
+        y_dirs = mamba_fused_dirs(
+            xi, xc, self.conv_w, self.conv_b, self.x_proj_w,
+            self.dt_proj_w, self.dt_bias, a, self.d_skip,
+            delta_softplus=True,
+        )
+        y = y_dirs[:, 0]
+        if k >= 2:
+            y = y + y_dirs[:, 1]  # already in source order
+        if k == 4:
+            y = y + self._col_major(y_dirs[:, 2] + y_dirs[:, 3], cls_pos)
+        y = y * nn.silu(z)
+        if self.if_devide_out and k > 1:
+            y = y / k
+        return self.out_proj(y)
+
     def __call__(self, x: jax.Array, cls_pos: int | None = None) -> jax.Array:
         d_inner, rank, n, k = self._d_inner, self._rank, self._n, self._k
         b, l, _ = x.shape
 
         xz = self.in_proj(x)
         xi, z = jnp.split(xz, 2, axis=-1)
+
+        backend = self.scan_backend
+        if backend == "auto":
+            backend = (
+                "fused" if jax.default_backend() == "tpu" else "ref"
+            )
+        if backend == "fused":
+            return self._fused_call(xi, z, cls_pos)
 
         seqs = [xi]
         if k >= 2:
@@ -151,9 +191,6 @@ class MambaMixer(nn.Module):
         dt = jnp.einsum("bklr,kdr->bkld", dt_r, self.dt_proj_w)
         a = -jnp.exp(self.a_log.astype(jnp.float32))
 
-        backend = self.scan_backend
-        if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "ref"
         if backend == "pallas":
             y_dirs = selective_scan_dirs(
                 h, dt, a, bmat, cmat, self.d_skip, self.dt_bias,
@@ -303,6 +340,7 @@ class ARM(nn.Module):
     rms_norm: bool = True
     drop_path_rate: float = 0.1
     scan_backend: str = "auto"
+    remat: bool = False  # activation ckpt (ref use_checkpoint)
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -317,8 +355,13 @@ class ARM(nn.Module):
             self.drop_path_rate * i / max(self.depth - 1, 1)
             for i in range(self.depth)
         ]
+        block_cls = (
+            nn.remat(MambaBlock, static_argnums=(2, 3))
+            if self.remat
+            else MambaBlock
+        )
         for i in range(self.depth):
-            x = MambaBlock(
+            x = block_cls(
                 d_model=self.embed_dim,
                 d_state=self.d_state,
                 bimamba_type=self.bimamba_type,
@@ -327,7 +370,7 @@ class ARM(nn.Module):
                 drop_path=dpr[i],
                 scan_backend=self.scan_backend,
                 name=f"layers_{i}",
-            )(x, cls_pos=pos, deterministic=deterministic)
+            )(x, pos, deterministic)
         return nn.LayerNorm(name="norm_f")(x)
 
 

@@ -68,8 +68,6 @@ class SS2D(nn.Module):
             )(xi)
         xi = nn.silu(xi)
 
-        xs = cross_scan(xi)  # (B, 4, L, Din)
-
         x_proj_w = self.param(
             "x_proj_w", _uniform_init(d_inner**-0.5), (k, rank + 2 * n, d_inner)
         )
@@ -84,31 +82,56 @@ class SS2D(nn.Module):
         a_log = self.param("A_log", _a_log_init, (k, d_inner, n))
         d_skip = self.param("D", nn.initializers.ones, (k, d_inner))
 
-        x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_w)
-        dt_r = x_dbl[..., :rank]
-        bmat = x_dbl[..., rank : rank + n]
-        cmat = x_dbl[..., rank + n :]
-        dt = jnp.einsum("bklr,kdr->bkld", dt_r, dt_proj_w)
         a = -jnp.exp(a_log.astype(jnp.float32))
-
         backend = self.scan_backend
         if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "ref"
-        if backend == "pallas":
-            y_dirs = selective_scan_dirs(
-                xs, dt, a, bmat, cmat, d_skip, dt_bias, delta_softplus=True
-            )
-        else:
-            ys = [
-                selective_scan_ref(
-                    xs[:, i], dt[:, i], a[i], bmat[:, i], cmat[:, i],
-                    d_skip[i], dt_bias[i], delta_softplus=True,
-                )
-                for i in range(k)
-            ]
-            y_dirs = jnp.stack(ys, axis=1)
+            backend = "fused" if jax.default_backend() == "tpu" else "ref"
 
-        y = cross_merge(y_dirs, h, w)  # (B, L, Din)
+        if backend == "fused":
+            # Fused kernel: cross-scan layouts ride the kernel's index
+            # maps (dirs [row, row-rev, col, col-rev]); the param axis
+            # stays in reference order [row, col, row-rev, col-rev], so
+            # gather with the permutation between the two.
+            from ..ops.mamba_fused import mamba_fused_dirs
+
+            perm = jnp.asarray([0, 2, 1, 3])
+            xr = xi.reshape(b, h * w, d_inner)
+            xc = xi.transpose(0, 2, 1, 3).reshape(b, h * w, d_inner)
+            y_f = mamba_fused_dirs(
+                xr, xc, None, None, x_proj_w[perm], dt_proj_w[perm],
+                dt_bias[perm], a[perm], d_skip[perm],
+                delta_softplus=True,
+            )
+            y_row = y_f[:, 0] + y_f[:, 1]
+            y_col = y_f[:, 2] + y_f[:, 3]
+            y_col = (
+                y_col.reshape(b, w, h, d_inner)
+                .transpose(0, 2, 1, 3)
+                .reshape(b, h * w, d_inner)
+            )
+            y = y_row + y_col
+        else:
+            xs = cross_scan(xi)  # (B, 4, L, Din)
+            x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_w)
+            dt_r = x_dbl[..., :rank]
+            bmat = x_dbl[..., rank : rank + n]
+            cmat = x_dbl[..., rank + n :]
+            dt = jnp.einsum("bklr,kdr->bkld", dt_r, dt_proj_w)
+            if backend == "pallas":
+                y_dirs = selective_scan_dirs(
+                    xs, dt, a, bmat, cmat, d_skip, dt_bias,
+                    delta_softplus=True,
+                )
+            else:
+                ys = [
+                    selective_scan_ref(
+                        xs[:, i], dt[:, i], a[i], bmat[:, i], cmat[:, i],
+                        d_skip[i], dt_bias[i], delta_softplus=True,
+                    )
+                    for i in range(k)
+                ]
+                y_dirs = jnp.stack(ys, axis=1)
+            y = cross_merge(y_dirs, h, w)  # (B, L, Din)
         y = nn.LayerNorm(name="out_norm")(y)
         y = y.reshape(b, h, w, d_inner) * z
         out = nn.Dense(self.d_model, use_bias=self.proj_bias, name="out_proj")(y)

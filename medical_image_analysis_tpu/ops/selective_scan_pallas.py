@@ -10,9 +10,13 @@ Design (TPU-first, not a CUDA translation):
   use cub block scans per thread-block instead; the chunked math spec is
   ``test_selective_scan_easy.py:14-98``).
 - Within a chunk, the first-order linear recurrence
-  ``h[t] = a[t]*h[t-1] + b[t]`` is computed by a log-depth Hillis–Steele
-  scan over the chunk axis, vectorized over ``(N, block_d)`` on the VPU.
-  Shifts are static ``concat`` ops (no gather, no roll).
+  ``h[t] = a[t]*h[t-1] + b[t]`` runs as an unrolled *sequential* loop of
+  FMAs over the chunk axis, vectorized over ``(N, block_d)`` lanes: the
+  VPU is one wide SIMD unit, so cross-row parallelism already comes from
+  the (N, block_d) lanes and the dependent chain of ``chunk`` FMAs beats
+  log2(chunk) full-tensor Hillis–Steele rounds (measured 3.9 ms vs
+  6.8 ms on ARM-B layer shapes; the HS variant is kept for comparison
+  via ``scan_impl='hs'``).
 - Layout inside the kernel is ``(chunk, N, block_d)`` so the lane
   dimension is the channel block (128) and state dim N sits on sublanes.
 - The backward pass is a second Pallas kernel running the chunk grid in
@@ -83,11 +87,29 @@ def _suffix_scan(a_hat, b, chunk):
     return b
 
 
+def _scan_states(a, b, h0, chunk, seq):
+    """All-states h[0..chunk-1] of h[t]=a[t]h[t-1]+b[t] given h0.
+
+    seq: unrolled dependent-FMA chain (fastest on the VPU); otherwise a
+    log-depth Hillis–Steele scan (kept for comparison/fallback).
+    Returns (chunk, N, bd) fp32.
+    """
+    if seq:
+        h = h0
+        hs = []
+        for t in range(chunk):
+            h = a[t] * h + b[t]
+            hs.append(h)
+        return jnp.stack(hs)
+    cum_a, h_in = _prefix_scan(a, b, chunk)
+    return h_in + cum_a * h0[None, :, :]
+
+
 def _fwd_kernel(
     u_ref, dt_ref, at_ref, b_ref, c_ref, d_ref, db_ref,
     y_ref, car_ref,
     h_ref,
-    *, chunk, delta_softplus,
+    *, chunk, delta_softplus, seq,
 ):
     l = pl.program_id(2)
 
@@ -108,8 +130,7 @@ def _fwd_kernel(
 
     a = jnp.exp(dt[:, None, :] * a_t[None, :, :])          # (chunk, N, bd)
     b = (dt * u)[:, None, :] * bmat[:, :, None]            # (chunk, N, bd)
-    cum_a, h_in = _prefix_scan(a, b, chunk)
-    h = h_in + cum_a * h_ref[:][None, :, :]
+    h = _scan_states(a, b, h_ref[:], chunk, seq)
     h_ref[:] = h[chunk - 1]
 
     y = jnp.sum(cmat[:, :, None] * h, axis=1)              # (chunk, bd)
@@ -117,11 +138,34 @@ def _fwd_kernel(
     y_ref[0] = y.astype(y_ref.dtype)
 
 
+def _adjoint_states(a, dh, g_carry, chunk, seq):
+    """Suffix recurrence P[t] = dh[t] + a[t+1] P[t+1]; P from the next
+    chunk enters through ``g_carry`` at the last row. Returns all P."""
+    if seq:
+        p = dh[chunk - 1] + g_carry
+        ps = [p]
+        for t in range(chunk - 2, -1, -1):
+            p = dh[t] + a[t + 1] * p
+            ps.append(p)
+        ps.reverse()
+        return jnp.stack(ps)
+    carry_inject = jnp.concatenate(
+        [jnp.zeros((chunk - 1, *g_carry.shape), jnp.float32),
+         g_carry[None]],
+        axis=0,
+    )
+    dh = dh + carry_inject
+    a_hat = jnp.concatenate(
+        [a[1:], jnp.zeros((1, *g_carry.shape), jnp.float32)], axis=0
+    )
+    return _suffix_scan(a_hat, dh, chunk)
+
+
 def _bwd_kernel(
     u_ref, dt_ref, at_ref, b_ref, c_ref, d_ref, db_ref, car_ref, dy_ref,
     du_ref, ddt_ref, da_ref, dbm_ref, dcm_ref, dd_ref, ddb_ref,
     g_ref,
-    *, chunk, delta_softplus,
+    *, chunk, delta_softplus, seq,
 ):
     l = pl.program_id(2)
     nl = pl.num_programs(2)
@@ -153,21 +197,12 @@ def _bwd_kernel(
     # Recompute forward states for this chunk.
     a = jnp.exp(dt[:, None, :] * a_t[None, :, :])
     b = (dt * u)[:, None, :] * bmat[:, :, None]
-    cum_a, h_in = _prefix_scan(a, b, chunk)
-    h = h_in + cum_a * h0[None, :, :]
+    h = _scan_states(a, b, h0, chunk, seq)
     h_prev = jnp.concatenate([h0[None, :, :], h[: chunk - 1]], axis=0)
 
     # Adjoint: P[t] = dL/dh[t] = C[t]*dy[t] + a[t+1]*P[t+1] (+ carry).
     dh = cmat[:, :, None] * dy[:, None, :]
-    carry_inject = jnp.concatenate(
-        [jnp.zeros((chunk - 1, *g_ref.shape), jnp.float32), g_ref[:][None]],
-        axis=0,
-    )
-    dh = dh + carry_inject
-    a_hat = jnp.concatenate(
-        [a[1:], jnp.zeros((1, *g_ref.shape), jnp.float32)], axis=0
-    )
-    p = _suffix_scan(a_hat, dh, chunk)
+    p = _adjoint_states(a, dh, g_ref[:], chunk, seq)
     g_ref[:] = a[0] * p[0]
 
     # Gradients.
@@ -197,16 +232,26 @@ def _pad_to(x, mult, axis):
     return jnp.pad(x, widths)
 
 
+def _pick_block_d(d_total: int) -> int:
+    """Largest lane-aligned block that divides the 128-padded channel
+    count (sweep-tuned: bigger blocks amortize per-grid-point overhead)."""
+    dp = ((d_total + 127) // 128) * 128
+    for cand in (768, 512, 384, 256, 128):
+        if dp % cand == 0:
+            return cand
+    return 128
+
+
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11)
 )
 def _selective_scan_core(
     u, delta, a_t, bmat, cmat, d_vec, delta_bias,
-    delta_softplus, chunk, block_d, interpret,
+    delta_softplus, chunk, block_d, interpret, seq,
 ):
     y, _ = _fwd_call(
         u, delta, a_t, bmat, cmat, d_vec, delta_bias,
-        delta_softplus, chunk, block_d, interpret,
+        delta_softplus, chunk, block_d, interpret, seq,
     )
     return y
 
@@ -224,7 +269,7 @@ def _specs(n_groups):
 
 def _fwd_call(
     u, delta, a_t, bmat, cmat, d_vec, delta_bias,
-    delta_softplus, chunk, block_d, interpret,
+    delta_softplus, chunk, block_d, interpret, seq,
 ):
     batch, seq_len, d_total = u.shape
     n = a_t.shape[1]
@@ -245,7 +290,8 @@ def _fwd_call(
 
     y, carries = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, chunk=chunk, delta_softplus=delta_softplus
+            _fwd_kernel, chunk=chunk, delta_softplus=delta_softplus,
+            seq=seq,
         ),
         grid=(batch, ndb, nl),
         in_specs=[
@@ -276,16 +322,16 @@ def _fwd_call(
 
 def _core_fwd(
     u, delta, a_t, bmat, cmat, d_vec, delta_bias,
-    delta_softplus, chunk, block_d, interpret,
+    delta_softplus, chunk, block_d, interpret, seq,
 ):
     y, carries = _fwd_call(
         u, delta, a_t, bmat, cmat, d_vec, delta_bias,
-        delta_softplus, chunk, block_d, interpret,
+        delta_softplus, chunk, block_d, interpret, seq,
     )
     return y, (u, delta, a_t, bmat, cmat, d_vec, delta_bias, carries)
 
 
-def _core_bwd(delta_softplus, chunk, block_d, interpret, res, dy):
+def _core_bwd(delta_softplus, chunk, block_d, interpret, seq, res, dy):
     u, delta, a_t, bmat, cmat, d_vec, delta_bias, carries = res
     batch, seq_len, d_total = u.shape
     n = a_t.shape[1]
@@ -320,7 +366,8 @@ def _core_bwd(delta_softplus, chunk, block_d, interpret, res, dy):
 
     outs = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, chunk=chunk, delta_softplus=delta_softplus
+            _bwd_kernel, chunk=chunk, delta_softplus=delta_softplus,
+            seq=seq,
         ),
         grid=(batch, ndb, nl),
         in_specs=[
@@ -377,6 +424,21 @@ def _core_bwd(delta_softplus, chunk, block_d, interpret, res, dy):
 _selective_scan_core.defvjp(_core_fwd, _core_bwd)
 
 
+def _resolve_tiling(chunk, block_d, d_total, scan_impl, interpret):
+    seq = scan_impl == "seq"
+    if chunk is None:
+        chunk = 32 if seq else 128
+    if block_d is None:
+        block_d = _pick_block_d(d_total)
+    if not interpret:
+        # Mosaic tiling: the lane (last) block dim must be a multiple of
+        # 128; sublane (chunk) a multiple of 8. Interpret mode has no
+        # such constraint, so tests may use smaller blocks.
+        block_d = max(block_d, 128)
+        chunk = max(chunk, 8)
+    return chunk, block_d, seq
+
+
 def selective_scan_pallas(
     u: jax.Array,
     delta: jax.Array,
@@ -386,9 +448,10 @@ def selective_scan_pallas(
     D: jax.Array | None = None,
     delta_bias: jax.Array | None = None,
     delta_softplus: bool = False,
-    chunk: int = 128,
-    block_d: int = 128,
+    chunk: int | None = None,
+    block_d: int | None = None,
     interpret: bool | None = None,
+    scan_impl: str = "seq",
 ) -> jax.Array:
     """Pallas selective scan, same signature as ``selective_scan_ref``.
 
@@ -398,13 +461,10 @@ def selective_scan_pallas(
     """
     if interpret is None:
         interpret = _interpret_default()
-    if not interpret:
-        # Mosaic tiling: the lane (last) block dim must be a multiple of
-        # 128; sublane (chunk) a multiple of 8. Interpret mode has no
-        # such constraint, so tests may use smaller blocks.
-        block_d = max(block_d, 128)
-        chunk = max(chunk, 8)
     batch, seq_len, d_total = u.shape
+    chunk, block_d, seq = _resolve_tiling(
+        chunk, block_d, d_total, scan_impl, interpret
+    )
     n = A.shape[1]
 
     if B.ndim == 3:
@@ -428,7 +488,7 @@ def selective_scan_pallas(
         )
         return _selective_scan_core(
             u, delta, a_t, bmat, cmat, d_vec, db_vec,
-            delta_softplus, chunk, block_d, interpret,
+            delta_softplus, chunk, block_d, interpret, seq,
         )
 
     # Grouped case: fold groups into batch. u (batch, L, G*dg) ->
@@ -454,7 +514,7 @@ def selective_scan_pallas(
     )
     y_f = _selective_scan_core(
         u_f, dt_f, a_t, b_f, c_f, d_vec, db_vec,
-        delta_softplus, chunk, block_d, interpret,
+        delta_softplus, chunk, block_d, interpret, seq,
     )
     y = y_f.reshape(batch, g, seq_len, dg).transpose(0, 2, 1, 3)
     return y.reshape(batch, seq_len, d_total)
@@ -469,9 +529,10 @@ def selective_scan_dirs(
     D: jax.Array | None = None,
     delta_bias: jax.Array | None = None,
     delta_softplus: bool = False,
-    chunk: int = 128,
-    block_d: int = 128,
+    chunk: int | None = None,
+    block_d: int | None = None,
     interpret: bool | None = None,
+    scan_impl: str = "seq",
 ) -> jax.Array:
     """Multi-direction scan: K directions with distinct inputs AND params.
 
@@ -489,10 +550,10 @@ def selective_scan_dirs(
     """
     if interpret is None:
         interpret = _interpret_default()
-    if not interpret:
-        block_d = max(block_d, 128)
-        chunk = max(chunk, 8)
     batch, k, seq_len, d = u.shape
+    chunk, block_d, seq = _resolve_tiling(
+        chunk, block_d, d, scan_impl, interpret
+    )
     n = A.shape[-1]
     u_f = u.reshape(batch * k, seq_len, d)
     dt_f = delta.reshape(batch * k, seq_len, d)
@@ -511,6 +572,6 @@ def selective_scan_dirs(
     )
     y_f = _selective_scan_core(
         u_f, dt_f, a_t, b_f, c_f, d_vec, db_vec,
-        delta_softplus, chunk, block_d, interpret,
+        delta_softplus, chunk, block_d, interpret, seq,
     )
     return y_f.reshape(batch, k, seq_len, d)
