@@ -112,3 +112,47 @@ def delta_filename(epoch: int, step: int, scores: dict | None = None) -> str:
     b = scores.get("Bleu_4", 0.0)
     c = scores.get("CIDEr", 0.0)
     return f"checkpoint_epoch{epoch}_step{step}_bleu{b:.4f}_cider{c:.4f}.msgpack"
+
+
+# Full train-state save/resume (misc.save_model/load_model +
+# auto_resume_helper parity: CXPMRG pretrain/utils/misc.py:280-358,
+# SwinCheX main.py:124-137).
+
+_STATE_RE = re.compile(r"state_epoch(\d+)\.msgpack$")
+
+
+def save_train_state(save_dir: str, state: Any, epoch: int, keep: int = 3):
+    """Write params+opt_state+step atomically; prune to ``keep`` newest."""
+    os.makedirs(save_dir, exist_ok=True)
+    state_host = jax.tree_util.tree_map(np.asarray, state)
+    path = os.path.join(save_dir, f"state_epoch{epoch:05d}.msgpack")
+    blob = serialization.to_bytes(
+        {"state": state_host, "epoch": np.int64(epoch)}
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    states = sorted(
+        f for f in os.listdir(save_dir) if _STATE_RE.search(f)
+    )
+    for old in states[:-keep]:
+        os.remove(os.path.join(save_dir, old))
+    return path
+
+
+def auto_resume_helper(save_dir: str) -> str | None:
+    """Latest full train-state checkpoint in ``save_dir`` (or None)."""
+    if not os.path.isdir(save_dir):
+        return None
+    states = sorted(f for f in os.listdir(save_dir) if _STATE_RE.search(f))
+    return os.path.join(save_dir, states[-1]) if states else None
+
+
+def restore_train_state(path: str, target_state: Any) -> tuple[Any, int]:
+    """Returns (state, epoch) restored into the target's structure."""
+    with open(path, "rb") as f:
+        obj = serialization.from_bytes(
+            {"state": target_state, "epoch": np.int64(0)}, f.read()
+        )
+    return obj["state"], int(obj["epoch"])

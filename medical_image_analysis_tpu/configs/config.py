@@ -63,6 +63,10 @@ class TrainConfig:
     log_every: int = 10
     val_every_epochs: int = 1
     save_dir: str = "save"
+    resume: str = ""  # "" | "auto" | path to a state_epoch*.msgpack
+    max_epochs_this_run: int = 0  # 0 = no cap; >0 stops after N epochs
+    save_state_every_epochs: int = 1
+    keep_states: int = 2
     debug_nans: bool = False
     mesh_data: int = -1
     mesh_model: int = 1

@@ -107,6 +107,7 @@ class MRGBatcher:
         self.max_len = max_len
         self.num_views = num_views
         self.n_context = n_context
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.before_ids = np.asarray(
             tokenizer.encode(prompt_before.replace("<bos>", ""), add_bos=True)
@@ -125,11 +126,19 @@ class MRGBatcher:
         ids = self.tok.encode(report, max_len=self.max_len - 1, add_eos=True)
         return self.tok.pad(ids, self.max_len)
 
-    def batches(self, shuffle: bool = True, drop_last: bool = True
-                ) -> Iterator[dict]:
+    def batches(self, shuffle: bool = True, drop_last: bool = True,
+                epoch: int | None = None) -> Iterator[dict]:
+        """With ``epoch``, ordering/sampling is a pure function of
+        (seed, epoch) — resume-invariant (the DistributedSampler
+        ``set_epoch`` analog, main_pretrain.py:183-184)."""
+        rng = (
+            np.random.default_rng((self.seed, epoch))
+            if epoch is not None
+            else self.rng
+        )
         order = np.arange(len(self.samples))
         if shuffle:
-            self.rng.shuffle(order)
+            rng.shuffle(order)
         bs = self.batch_size
         end = len(order) - (len(order) % bs if drop_last else 0)
         for i in range(0, end, bs):
@@ -151,7 +160,7 @@ class MRGBatcher:
                 ctx_imgs = []
                 for _ in chunk:
                     pi, ni = sample_context_ids(
-                        self.rng, self.samples, self.n_context
+                        rng, self.samples, self.n_context
                     )
                     ctx = [
                         self._views(self.samples[j])[0] for j in pi + ni

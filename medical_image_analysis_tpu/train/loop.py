@@ -17,7 +17,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs.config import RunConfig
-from ..ckpt.checkpoint import delta_filename, save_delta
+from ..ckpt.checkpoint import (
+    auto_resume_helper,
+    delta_filename,
+    restore_train_state,
+    save_delta,
+    save_train_state,
+)
 from ..data.datasets import (
     MRGBatcher,
     disk_image_loader,
@@ -63,6 +69,23 @@ def _mesh_for(batch_size: int, mesh_data: int = -1, mesh_model: int = 1):
     return make_mesh(
         data=d, model=model, devices=jax.devices()[: d * model]
     )
+
+
+def _maybe_resume(state, t):
+    """Restore the full train state (params+opt+step) and return the
+    epoch to continue from (misc.load_model / auto_resume_helper parity,
+    ``misc.py:280-358``, SwinCheX ``main.py:124-137``)."""
+    if not t.resume:
+        return state, 0
+    path = (
+        auto_resume_helper(t.save_dir) if t.resume == "auto" else t.resume
+    )
+    if not path or not os.path.exists(path):
+        print(f"[resume] no checkpoint found under {t.save_dir}")
+        return state, 0
+    state, epoch = restore_train_state(path, state)
+    print(f"[resume] restored {path} (epoch {epoch})")
+    return state, epoch + 1
 
 
 def _finalize_step(loss_fn, tx, state, mesh, t, specs=None):
@@ -220,6 +243,7 @@ def fit_mrg(cfg: RunConfig) -> dict:
         params_for_mask=train_params, trainable_mask=mask,
     )
     state = TrainState.create(train_params, tx)
+    state, start_epoch = _maybe_resume(state, t)
 
     def loss_fn(p, batch, rng):
         return model.apply(merged(p), *[batch[k] for k in keys])
@@ -238,15 +262,21 @@ def fit_mrg(cfg: RunConfig) -> dict:
     rng = jax.random.PRNGKey(t.seed + 1)
     ml = MetricLogger()
     results = {}
-    for epoch in range(t.epochs):
-        it = prefetch(train_b.batches())
+    for epoch in range(start_epoch, t.epochs):
+        it = prefetch(train_b.batches(epoch=epoch))
         for i, batch in enumerate(ml.log_every(
             it, t.log_every, f"epoch {epoch}", total=steps_per_epoch
         )):
-            rng, sub = jax.random.split(rng)
+            sub = jax.random.fold_in(rng, (epoch << 20) + i)
             state, metrics = step(state, _device_batch(batch, mesh), sub)
             ml.update(loss=float(metrics["loss"]))
         logger.write({"epoch": epoch, "loss": ml.meters["loss"].global_avg})
+        if (epoch + 1) % t.save_state_every_epochs == 0:
+            save_train_state(t.save_dir, state, epoch, keep=t.keep_states)
+        if t.max_epochs_this_run and (
+            epoch - start_epoch + 1 >= t.max_epochs_this_run
+        ):
+            break
 
         if (epoch + 1) % t.val_every_epochs == 0:
             scores = evaluate_mrg(
@@ -305,6 +335,7 @@ def fit_mae(cfg: RunConfig) -> dict:
                     weight_decay=t.weight_decay, grad_clip=t.grad_clip,
                     params_for_mask=params)
     state = TrainState.create(params, tx)
+    state, start_epoch = _maybe_resume(state, t)
 
     def loss_fn(params, batch, rng):
         loss, _, _ = model.apply(
@@ -316,13 +347,19 @@ def fit_mae(cfg: RunConfig) -> dict:
 
     state, step = _finalize_step(loss_fn, tx, state, mesh, t)
     ml = MetricLogger()
-    for epoch in range(t.epochs):
-        for batch in ml.log_every(
-            prefetch(train_b.batches()), t.log_every, f"mae epoch {epoch}"
-        ):
-            rng, sub = jax.random.split(rng)
+    for epoch in range(start_epoch, t.epochs):
+        for i, batch in enumerate(ml.log_every(
+            prefetch(train_b.batches(epoch=epoch)), t.log_every, f"mae epoch {epoch}"
+        )):
+            sub = jax.random.fold_in(rng, (epoch << 20) + i)
             state, metrics = step(state, _device_batch(batch, mesh), sub)
             ml.update(loss=float(metrics["loss"]))
+        if (epoch + 1) % t.save_state_every_epochs == 0:
+            save_train_state(t.save_dir, state, epoch, keep=t.keep_states)
+        if t.max_epochs_this_run and (
+            epoch - start_epoch + 1 >= t.max_epochs_this_run
+        ):
+            break
     return {"loss": ml.meters["loss"].global_avg}
 
 
@@ -342,6 +379,7 @@ def fit_ar(cfg: RunConfig) -> dict:
                     weight_decay=t.weight_decay, grad_clip=t.grad_clip,
                     params_for_mask=params)
     state = TrainState.create(params, tx)
+    state, start_epoch = _maybe_resume(state, t)
 
     def loss_fn(params, batch, rng):
         return model.apply(params, batch["images"][:, 0])
@@ -349,13 +387,19 @@ def fit_ar(cfg: RunConfig) -> dict:
     state, step = _finalize_step(loss_fn, tx, state, mesh, t)
     ml = MetricLogger()
     rng = jax.random.PRNGKey(t.seed + 1)
-    for epoch in range(t.epochs):
-        for batch in ml.log_every(
-            prefetch(train_b.batches()), t.log_every, f"ar epoch {epoch}"
-        ):
-            rng, sub = jax.random.split(rng)
+    for epoch in range(start_epoch, t.epochs):
+        for i, batch in enumerate(ml.log_every(
+            prefetch(train_b.batches(epoch=epoch)), t.log_every, f"ar epoch {epoch}"
+        )):
+            sub = jax.random.fold_in(rng, (epoch << 20) + i)
             state, metrics = step(state, _device_batch(batch, mesh), sub)
             ml.update(loss=float(metrics["loss"]))
+        if (epoch + 1) % t.save_state_every_epochs == 0:
+            save_train_state(t.save_dir, state, epoch, keep=t.keep_states)
+        if t.max_epochs_this_run and (
+            epoch - start_epoch + 1 >= t.max_epochs_this_run
+        ):
+            break
     return {"loss": ml.meters["loss"].global_avg}
 
 
@@ -384,6 +428,7 @@ def fit_clip(cfg: RunConfig) -> dict:
                     weight_decay=t.weight_decay, grad_clip=t.grad_clip,
                     params_for_mask=params)
     state = TrainState.create(params, tx)
+    state, start_epoch = _maybe_resume(state, t)
 
     def loss_fn(params, batch, rng):
         return model.apply(
@@ -394,13 +439,19 @@ def fit_clip(cfg: RunConfig) -> dict:
     state, step = _finalize_step(loss_fn, tx, state, mesh, t)
     ml = MetricLogger()
     rng = jax.random.PRNGKey(0)
-    for epoch in range(t.epochs):
-        for batch in ml.log_every(
-            prefetch(train_b.batches()), t.log_every, f"clip epoch {epoch}"
-        ):
-            rng, sub = jax.random.split(rng)
+    for epoch in range(start_epoch, t.epochs):
+        for i, batch in enumerate(ml.log_every(
+            prefetch(train_b.batches(epoch=epoch)), t.log_every, f"clip epoch {epoch}"
+        )):
+            sub = jax.random.fold_in(rng, (epoch << 20) + i)
             state, metrics = step(state, _device_batch(batch, mesh), sub)
             ml.update(loss=float(metrics["loss"]))
+        if (epoch + 1) % t.save_state_every_epochs == 0:
+            save_train_state(t.save_dir, state, epoch, keep=t.keep_states)
+        if t.max_epochs_this_run and (
+            epoch - start_epoch + 1 >= t.max_epochs_this_run
+        ):
+            break
     return {"loss": ml.meters["loss"].global_avg}
 
 
@@ -427,6 +478,7 @@ def fit_classify(cfg: RunConfig) -> dict:
                     weight_decay=t.weight_decay, grad_clip=t.grad_clip,
                     params_for_mask=params)
     state = TrainState.create(params, tx)
+    state, start_epoch = _maybe_resume(state, t)
 
     def loss_fn(params, batch, rng):
         logits = model.apply(params, batch["images"][:, 0])
@@ -435,17 +487,24 @@ def fit_classify(cfg: RunConfig) -> dict:
     state, step = _finalize_step(loss_fn, tx, state, mesh, t)
     ml = MetricLogger()
     rng = jax.random.PRNGKey(0)
-    for epoch in range(t.epochs):
-        for batch in ml.log_every(
-            prefetch(train_b.batches()), t.log_every, f"cls epoch {epoch}"
-        ):
+    for epoch in range(start_epoch, t.epochs):
+        for i, batch in enumerate(ml.log_every(
+            prefetch(train_b.batches(epoch=epoch)), t.log_every,
+            f"cls epoch {epoch}"
+        )):
             labels = np.stack(
                 [extract_labels(r) for r in batch["reports"]]
             ).astype(np.float32)
             batch = dict(batch, labels=labels)
-            rng, sub = jax.random.split(rng)
+            sub = jax.random.fold_in(rng, (epoch << 20) + i)
             state, metrics = step(state, _device_batch(batch, mesh), sub)
             ml.update(loss=float(metrics["loss"]))
+        if (epoch + 1) % t.save_state_every_epochs == 0:
+            save_train_state(t.save_dir, state, epoch, keep=t.keep_states)
+        if t.max_epochs_this_run and (
+            epoch - start_epoch + 1 >= t.max_epochs_this_run
+        ):
+            break
     return {"loss": ml.meters["loss"].global_avg}
 
 
