@@ -11,6 +11,8 @@ PEFT: partial-SSM LoRA applies via :mod:`..peft.lora` param transforms
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -19,6 +21,13 @@ from .mamba import MambaBlock, MambaMixer
 
 
 class MambaLM(nn.Module):
+    """``peft_cfg`` (a :class:`..peft.mamba_peft.MambaPEFTConfig`)
+    enables the activation-space adapters — AdaptFormer parallel
+    bottlenecks per block, prompt tuning (virtual tokens at the input),
+    and per-layer prefix tuning (``outer_single_prefix`` semantics,
+    mamba_peft.py:389-393) — the weight-space family merges via
+    :func:`..peft.mamba_peft.merge_mamba_peft` before apply."""
+
     vocab_size: int
     d_model: int = 768
     depth: int = 12
@@ -26,6 +35,7 @@ class MambaLM(nn.Module):
     expand: int = 2
     rms_norm: bool = True
     scan_backend: str = "auto"
+    peft_cfg: Any = None
 
     def setup(self):
         self.embed_tokens = nn.Embed(
@@ -44,12 +54,62 @@ class MambaLM(nn.Module):
             for i in range(self.depth)
         ]
         self.norm_f = nn.LayerNorm(name="norm_f")
+        pc = self.peft_cfg
+        if pc is not None and pc.adaptformer:
+            self.adaptf_down = [
+                nn.Dense(pc.dim_adaptf, name=f"adaptf_down_{i}")
+                for i in range(self.depth)
+            ]
+            self.adaptf_up = [
+                nn.Dense(
+                    self.d_model, kernel_init=nn.initializers.zeros,
+                    name=f"adaptf_up_{i}",
+                )
+                for i in range(self.depth)
+            ]
+        if pc is not None and pc.prompt_tuning:
+            self.prompt_encoder = self.param(
+                "prompt_encoder", nn.initializers.normal(0.02),
+                (1, pc.prompt_num_tokens, self.d_model),
+            )
+        if pc is not None and pc.prefix_tuning:
+            self.prefix_encoder = self.param(
+                "prefix_encoder", nn.initializers.normal(0.02),
+                (self.depth, 1, pc.num_virtual_tokens, self.d_model),
+            )
 
     def __call__(self, input_ids: jax.Array) -> jax.Array:
         """(B, L) -> logits (B, L, V)."""
+        pc = self.peft_cfg
         x = self.embed_tokens(input_ids)
-        for blk in self.blocks:
-            x = blk(x)
+        b, l, _ = x.shape
+        if pc is not None and pc.prompt_tuning:
+            x = jnp.concatenate(
+                [jnp.broadcast_to(
+                    self.prompt_encoder,
+                    (b, pc.prompt_num_tokens, self.d_model),
+                ), x],
+                axis=1,
+            )
+        for i, blk in enumerate(self.blocks):
+            if pc is not None and pc.prefix_tuning:
+                v = pc.num_virtual_tokens
+                x = jnp.concatenate(
+                    [jnp.broadcast_to(
+                        self.prefix_encoder[i], (b, v, self.d_model)
+                    ), x],
+                    axis=1,
+                )
+            y = blk(x)
+            if pc is not None and pc.adaptformer:
+                y = y + pc.s_adaptf * self.adaptf_up[i](
+                    nn.relu(self.adaptf_down[i](x))
+                )
+            x = y
+            if pc is not None and pc.prefix_tuning:
+                x = x[:, pc.num_virtual_tokens:]
+        if pc is not None and pc.prompt_tuning:
+            x = x[:, pc.prompt_num_tokens:]
         x = self.norm_f(x)
         return self.embed_tokens.attend(x)
 
