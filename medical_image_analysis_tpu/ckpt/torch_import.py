@@ -367,6 +367,105 @@ def vssm_torch_to_flax(
     return {"params": _to_jnp(params)}
 
 
+def _dense(sd, name):
+    return {
+        "kernel": np.ascontiguousarray(sd[name + ".weight"].T),
+        "bias": sd[name + ".bias"],
+    }
+
+
+def _norm(sd, name):
+    return {"scale": sd[name + ".weight"], "bias": sd[name + ".bias"]}
+
+
+def _bert_attention(sd, p):
+    return {
+        "query": _dense(sd, p + "self.query"),
+        "key": _dense(sd, p + "self.key"),
+        "value": _dense(sd, p + "self.value"),
+        "out": _dense(sd, p + "output.dense"),
+        "out_norm": _norm(sd, p + "output.LayerNorm"),
+    }
+
+
+def bert_hf_to_flax(sd: Mapping[str, np.ndarray], n_layers: int) -> dict:
+    """HF BertModel state_dict -> :class:`..models.bert.BertModel` params
+    (Bio_ClinicalBERT and any bert-base checkpoint; SURVEY.md F1/§2.3)."""
+    params = {
+        "word_embeddings": {
+            "embedding": sd["embeddings.word_embeddings.weight"]
+        },
+        "position_embeddings": sd["embeddings.position_embeddings.weight"],
+        "token_type_embeddings": {
+            "embedding": sd["embeddings.token_type_embeddings.weight"]
+        },
+        "embeddings_norm": _norm(sd, "embeddings.LayerNorm"),
+    }
+    if "pooler.dense.weight" in sd:
+        params["pooler"] = _dense(sd, "pooler.dense")
+    for i in range(n_layers):
+        p = f"encoder.layer.{i}."
+        params[f"layer_{i}"] = {
+            "attention": _bert_attention(sd, p + "attention."),
+            "ffn": {
+                "dense_in": _dense(sd, p + "intermediate.dense"),
+                "dense_out": _dense(sd, p + "output.dense"),
+                "norm": _norm(sd, p + "output.LayerNorm"),
+            },
+        }
+    return {"params": _to_jnp(params)}
+
+
+def blip2_qformer_to_flax(
+    sd: Mapping[str, np.ndarray], n_layers: int,
+    cross_attention_freq: int = 2,
+) -> dict:
+    """BLIP-2 Q-Former weights -> :class:`..models.bert.BertModel`
+    (query_ffn) params. Accepts both namings: HF ``Blip2QFormerModel``
+    (``encoder.layer.i.attention.attention.query`` / ``layernorm``) and
+    LAVIS/reference checkpoints (``Qformer.bert.encoder.layer.i.
+    attention.self.query`` / ``bert.embeddings.LayerNorm`` — the
+    ``blip2_pretrained_flant5xxl.pth`` convention, AM_MRG.py:206-234).
+
+    Returns ``{"params": bert_params}``; the caller merges
+    ``query_tokens`` separately when present in the checkpoint.
+    """
+    norm = {}
+    for k, v in sd.items():
+        k2 = k
+        for pre in ("Qformer.bert.", "bert.", "model."):
+            if k2.startswith(pre):
+                k2 = k2[len(pre):]
+        k2 = k2.replace(".attention.attention.", ".attention.self.")
+        k2 = k2.replace(".crossattention.attention.", ".crossattention.self.")
+        k2 = k2.replace("embeddings.LayerNorm", "layernorm")
+        norm[k2] = v
+    sd = norm
+    params = {"embeddings_norm": _norm(sd, "layernorm")}
+    for i in range(n_layers):
+        p = f"encoder.layer.{i}."
+        layer = {
+            "attention": _bert_attention(sd, p + "attention."),
+            "ffn_query": {
+                "dense_in": _dense(sd, p + "intermediate_query.dense"),
+                "dense_out": _dense(sd, p + "output_query.dense"),
+                "norm": _norm(sd, p + "output_query.LayerNorm"),
+            },
+        }
+        if p + "crossattention.self.query.weight" in sd:
+            layer["crossattention"] = _bert_attention(
+                sd, p + "crossattention."
+            )
+        if p + "intermediate.dense.weight" in sd:
+            layer["ffn"] = {
+                "dense_in": _dense(sd, p + "intermediate.dense"),
+                "dense_out": _dense(sd, p + "output.dense"),
+                "norm": _norm(sd, p + "output.LayerNorm"),
+            }
+        params[f"layer_{i}"] = layer
+    return {"params": _to_jnp(params)}
+
+
 def _to_jnp(tree):
     if isinstance(tree, dict):
         return {k: _to_jnp(v) for k, v in tree.items()}

@@ -60,9 +60,15 @@ class QFormerLayer(nn.Module):
 
 
 class QFormer(nn.Module):
-    """Learnable queries attending into encoder features.
+    """BLIP-2-faithful Q-Former (delegates to :class:`.bert.Blip2QFormer`):
+    learnable queries over a post-LN BERT encoder, cross-attention into
+    image features every ``cross_attention_freq`` layers, separate
+    query-position FFN, optional text path — loadable from
+    ``blip2_pretrained_flant5xxl.pth`` via
+    :func:`..ckpt.torch_import.blip2_qformer_to_flax`.
 
-    __call__(image_feats (B, L, enc_dim)) -> (B, num_queries, dim)
+    __call__(image_feats (B, L, enc_dim)[, input_ids, attention_mask])
+    -> (B, num_queries [+ L_text], dim)
     """
 
     dim: int = 768
@@ -73,25 +79,19 @@ class QFormer(nn.Module):
     intermediate: int = 3072
 
     @nn.compact
-    def __call__(self, encoder_states: jax.Array) -> jax.Array:
-        b = encoder_states.shape[0]
-        queries = self.param(
-            "query_tokens", trunc_normal_init, (1, self.num_queries, self.dim)
-        )
-        # encoder width may differ from dim; project K/V input once.
-        enc = nn.Dense(self.dim, name="encoder_proj")(encoder_states)
-        x = jnp.broadcast_to(queries, (b, self.num_queries, self.dim)).astype(
-            enc.dtype
-        )
-        for i in range(self.num_layers):
-            x = QFormerLayer(
-                self.dim,
-                self.num_heads,
-                self.intermediate,
-                has_cross=(i % self.cross_attention_freq == 0),
-                name=f"layer{i}",
-            )(x, enc)
-        return x
+    def __call__(self, encoder_states: jax.Array, input_ids=None,
+                 attention_mask=None) -> jax.Array:
+        from .bert import Blip2QFormer
+
+        return Blip2QFormer(
+            num_queries=self.num_queries,
+            dim=self.dim,
+            n_layers=self.num_layers,
+            n_heads=self.num_heads,
+            intermediate=self.intermediate,
+            cross_attention_freq=self.cross_attention_freq,
+            name="blip2",
+        )(encoder_states, input_ids, attention_mask)
 
 
 class EncoderProjectorQFormer(nn.Module):
