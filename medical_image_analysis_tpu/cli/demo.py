@@ -4,7 +4,6 @@ Modes:
   one-shot:  python -m medical_image_analysis_tpu.cli.demo --image x.png \
                  --delta ckpt.msgpack --vocab vocab.json
   server:    ... --serve 8080   (JSON API: POST /generate {"image": b64})
-  gradio:    used automatically with --gradio if the package is present.
 
 The model pipeline is demo_test_step-shaped (R2GenCSR.py:667-716):
 preprocess -> encode -> beam generate -> decode.

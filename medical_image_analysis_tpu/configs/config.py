@@ -26,6 +26,11 @@ class DataConfig:
     max_len: int = 100
     num_views: int = 2
     n_context: int = 0  # R2GenCSR context exemplars per polarity
+    context_retrieval_mode: str = "keyword"  # keyword | random | chexbert
+    context_keyword: Any = "effusion"  # str or list of disease keywords
+    chexbert_csv: str = ""  # ann_chexbert.csv path for chexbert mode
+    use_feature_mean: bool = True  # False: MIMIC study-grouped two-view
+    num_workers: int = 8  # parallel image-decode threads
     vocab_min_freq: int = 3
     prompt: str = "human : generate a comprehensive and detailed diagnosis report for this chest xray image ."
     prompt_after: str = "assistant :"
@@ -59,6 +64,8 @@ class TrainConfig:
     accum_steps: int = 1  # ref --accumulate_grad_batches (config.py:86)
     remat: bool = False  # activation ckpt (ref use_checkpoint vmamba.py:1386)
     zero_opt: bool = True  # ZeRO-1 analog of the deepspeed strategy flag
+    mixup: float = 0.0  # mixup alpha for the classify recipe (0 = off)
+    cutmix: float = 0.0  # cutmix alpha
     seed: int = 42
     log_every: int = 10
     val_every_epochs: int = 1

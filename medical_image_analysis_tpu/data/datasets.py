@@ -35,6 +35,7 @@ class Sample:
     id: str
     image_paths: list[str]
     report: str
+    study_id: str | None = None
 
 
 def load_annotations(path: str, dataset: str) -> dict[str, list[Sample]]:
@@ -49,7 +50,12 @@ def load_annotations(path: str, dataset: str) -> dict[str, list[Sample]]:
             paths = rec.get("image_path") or []
             if isinstance(paths, str):
                 paths = [paths]
-            samples.append(Sample(str(rec.get("id")), paths, report))
+            samples.append(Sample(
+                str(rec.get("id")), paths, report,
+                study_id=(
+                    str(rec["study_id"]) if "study_id" in rec else None
+                ),
+            ))
         out[split] = samples
     return out
 
@@ -60,24 +66,94 @@ def drop_unclear_reports(samples: list[Sample], min_words: int = 3):
     return [s for s in samples if len(s.report.split()) >= min_words]
 
 
+def load_chexbert_csv(path: str) -> dict[str, np.ndarray]:
+    """ann_chexbert.csv (id + 14 label columns, R2GenCSR.py:323-344) ->
+    {id: (14,) int labels} with -1/blank mapped to 0 (compute_ce.py)."""
+    import csv
+
+    out = {}
+    with open(path, newline="") as f:
+        reader = csv.DictReader(f)
+        cols = [c for c in reader.fieldnames if c not in ("id", "image_path")]
+        for row in reader:
+            vals = []
+            for c in cols:
+                v = row.get(c, "")
+                try:
+                    v = float(v)
+                except (TypeError, ValueError):
+                    v = 0.0
+                vals.append(1 if v == 1 else 0)
+            out[str(row.get("id"))] = np.asarray(vals, np.int32)
+    return out
+
+
 def sample_context_ids(
     rng: np.random.Generator,
     samples: list[Sample],
     n: int,
     mode: str = "keyword",
-    keyword: str = DEFAULT_CONTEXT_KEYWORD,
+    keyword: str | list[str] = DEFAULT_CONTEXT_KEYWORD,
+    chexbert_labels: dict[str, np.ndarray] | None = None,
 ) -> tuple[list[int], list[int]]:
-    """Return (positive, negative) exemplar indices (context_sample)."""
+    """Return (positive, negative) exemplar indices (context_sample,
+    R2GenCSR.py:309-372): ``random`` sampling, ``keyword`` splits on one
+    or several disease keywords, ``chexbert`` splits on the no-finding
+    column of a CheXbert csv (positives = any finding; negatives =
+    no_finding==1), falling back to the rule labeler when no csv."""
     if mode == "random":
         idx = rng.choice(len(samples), 2 * n, replace=len(samples) < 2 * n)
         return list(idx[:n]), list(idx[n:])
-    pos = [i for i, s in enumerate(samples) if keyword in s.report]
-    neg = [i for i, s in enumerate(samples) if keyword not in s.report]
+    if mode == "chexbert":
+        from ..evalx.chexbert import extract_labels
+
+        def no_finding(s: Sample) -> bool:
+            if chexbert_labels is not None and s.id in chexbert_labels:
+                return bool(chexbert_labels[s.id][-1] == 1)
+            return bool(extract_labels(s.report)[-1] == 1)
+
+        pos = [i for i, s in enumerate(samples) if not no_finding(s)]
+        neg = [i for i, s in enumerate(samples) if no_finding(s)]
+    else:
+        kws = [keyword] if isinstance(keyword, str) else list(keyword)
+        pos = [
+            i for i, s in enumerate(samples)
+            if any(k in s.report for k in kws)
+        ]
+        neg = [
+            i for i, s in enumerate(samples)
+            if not any(k in s.report for k in kws)
+        ]
     pos = pos or list(range(len(samples)))
     neg = neg or list(range(len(samples)))
     pi = rng.choice(pos, n, replace=len(pos) < n)
     ni = rng.choice(neg, n, replace=len(neg) < n)
     return list(pi), list(ni)
+
+
+def group_study_two_views(
+    samples: list[Sample], rng: np.random.Generator | None = None
+) -> list[Sample]:
+    """MIMIC study-grouped two-view sampling (data_helper.py:105-128,
+    ``use_feature_mean=False``): pool image paths per study_id; a sample
+    with 2 pooled paths uses both, >2 keeps its own plus one random
+    pooled path, 1 duplicates itself."""
+    rng = rng or np.random.default_rng(0)
+    pooled: dict[str, list[str]] = {}
+    for s in samples:
+        if s.study_id is not None:
+            pooled.setdefault(s.study_id, []).extend(s.image_paths)
+    out = []
+    for s in samples:
+        group = pooled.get(s.study_id or "", s.image_paths)
+        if len(group) == 2:
+            paths = list(group)
+        elif len(group) > 2:
+            paths = s.image_paths + [group[int(rng.integers(len(group)))]]
+        else:
+            paths = s.image_paths + s.image_paths
+        out.append(dataclasses.replace(s, image_paths=paths[:2]))
+    return out
 
 
 class MRGBatcher:
@@ -98,6 +174,10 @@ class MRGBatcher:
         prompt_before: str = "<bos> human : generate a comprehensive report",
         prompt_after: str = "assistant :",
         n_context: int = 0,
+        context_mode: str = "keyword",
+        context_keyword: str | list[str] = DEFAULT_CONTEXT_KEYWORD,
+        chexbert_labels: dict | None = None,
+        num_workers: int = 8,
         seed: int = 0,
     ):
         self.samples = samples
@@ -107,8 +187,18 @@ class MRGBatcher:
         self.max_len = max_len
         self.num_views = num_views
         self.n_context = n_context
+        self.context_mode = context_mode
+        self.context_keyword = context_keyword
+        self.chexbert_labels = chexbert_labels
         self.seed = seed
         self.rng = np.random.default_rng(seed)
+        self._pool = None
+        if num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # PIL decode releases the GIL; a thread pool is the
+            # DataLoader(num_workers=8) analog (data_module.py:55-57).
+            self._pool = ThreadPoolExecutor(max_workers=num_workers)
         self.before_ids = np.asarray(
             tokenizer.encode(prompt_before.replace("<bos>", ""), add_bos=True)
         )
@@ -145,7 +235,10 @@ class MRGBatcher:
             chunk = [self.samples[j] for j in order[i : i + bs]]
             if len(chunk) < bs:
                 chunk = chunk + [chunk[-1]] * (bs - len(chunk))
-            images = np.stack([self._views(s) for s in chunk])
+            if self._pool is not None:
+                images = np.stack(list(self._pool.map(self._views, chunk)))
+            else:
+                images = np.stack([self._views(s) for s in chunk])
             tgt, msk = zip(*(self._encode_report(s.report) for s in chunk))
             batch = dict(
                 images=images.astype(np.float32),
@@ -160,7 +253,10 @@ class MRGBatcher:
                 ctx_imgs = []
                 for _ in chunk:
                     pi, ni = sample_context_ids(
-                        rng, self.samples, self.n_context
+                        rng, self.samples, self.n_context,
+                        mode=self.context_mode,
+                        keyword=self.context_keyword,
+                        chexbert_labels=self.chexbert_labels,
                     )
                     ctx = [
                         self._views(self.samples[j])[0] for j in pi + ni
@@ -239,3 +335,66 @@ def synthetic_image_loader(size: int = 64, views: int = 2):
         return rng.standard_normal((views, size, size, 3)).astype(np.float32)
 
     return load
+
+
+def zip_image_loader(zip_path: str, input_size: int):
+    """Zip-backed image loading (SwinCheX ``cached_image_folder.py``
+    parity): per-thread zipfile handles, decode straight from the
+    archive — no extracted tree on disk."""
+    import io
+    import threading as _threading
+    import zipfile
+
+    import PIL.Image
+
+    local = _threading.local()
+
+    def handle() -> zipfile.ZipFile:
+        if not hasattr(local, "zf"):
+            local.zf = zipfile.ZipFile(zip_path)
+        return local.zf
+
+    def load(sample: Sample) -> np.ndarray:
+        views = []
+        for p in sample.image_paths:
+            with handle().open(p) as f:
+                with PIL.Image.open(io.BytesIO(f.read())) as pil:
+                    arr = np.asarray(pil.convert("RGB"), np.uint8)
+            views.append(host_preprocess(arr, input_size))
+        return np.stack(views)
+
+    return load
+
+
+def mixup_cutmix(
+    rng: np.random.Generator,
+    images: np.ndarray,
+    labels: np.ndarray,
+    mixup_alpha: float = 0.8,
+    cutmix_alpha: float = 1.0,
+    prob: float = 1.0,
+    switch_prob: float = 0.5,
+):
+    """Batch mixup/cutmix (timm semantics; SwinCheX ``data/build.py``):
+    returns (mixed_images, soft_labels). Labels may be multi-hot."""
+    b = images.shape[0]
+    labels = labels.astype(np.float32)
+    if rng.random() > prob:
+        return images, labels
+    perm = rng.permutation(b)
+    use_cutmix = rng.random() < switch_prob and cutmix_alpha > 0
+    if use_cutmix:
+        lam = float(rng.beta(cutmix_alpha, cutmix_alpha))
+        h, w = images.shape[-3], images.shape[-2]
+        rh, rw = int(h * np.sqrt(1 - lam)), int(w * np.sqrt(1 - lam))
+        cy, cx = int(rng.integers(h)), int(rng.integers(w))
+        y0, y1 = max(cy - rh // 2, 0), min(cy + rh // 2, h)
+        x0, x1 = max(cx - rw // 2, 0), min(cx + rw // 2, w)
+        mixed = images.copy()
+        mixed[..., y0:y1, x0:x1, :] = images[perm][..., y0:y1, x0:x1, :]
+        lam = 1.0 - ((y1 - y0) * (x1 - x0) / (h * w))
+    else:
+        lam = float(rng.beta(mixup_alpha, mixup_alpha)) if mixup_alpha > 0 else 1.0
+        mixed = lam * images + (1.0 - lam) * images[perm]
+    soft = lam * labels + (1.0 - lam) * labels[perm]
+    return mixed.astype(images.dtype), soft

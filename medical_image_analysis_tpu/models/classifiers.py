@@ -47,7 +47,10 @@ def weighted_bce_loss(logits, labels, sample_weight=None):
 
 
 def swinchex_loss(logits, labels):
-    """logits (B, C, 2), labels (B, C) in {0,1}: sum of per-head CEs."""
+    """logits (B, C, 2), labels (B, C): sum of per-head CEs. Labels may
+    be soft (mixup/cutmix, SwinCheX data/build.py) — p(positive) per
+    head; hard {0,1} labels are the special case."""
     lp = jax.nn.log_softmax(logits, axis=-1)
-    ll = jnp.take_along_axis(lp, labels[..., None].astype(jnp.int32), axis=-1)
-    return -ll[..., 0].mean(axis=0).sum()
+    pos = labels.astype(lp.dtype)
+    ll = (1.0 - pos) * lp[..., 0] + pos * lp[..., 1]
+    return -ll.mean(axis=0).sum()

@@ -28,7 +28,10 @@ from ..data.datasets import (
     MRGBatcher,
     disk_image_loader,
     drop_unclear_reports,
+    group_study_two_views,
     load_annotations,
+    load_chexbert_csv,
+    mixup_cutmix,
     prefetch,
     synthetic_annotations,
     synthetic_image_loader,
@@ -120,14 +123,21 @@ def build_data(cfg: RunConfig):
         ann = load_annotations(d.annotation_path, d.dataset)
         loader = disk_image_loader(d.base_dir, d.input_size)
     ann["train"] = drop_unclear_reports(ann["train"])
+    if not d.use_feature_mean and d.dataset == "mimic_cxr":
+        ann["train"] = group_study_two_views(ann["train"])
     tok = WordTokenizer.from_corpus(
         (s.report for s in ann["train"]), min_freq=d.vocab_min_freq
     )
+    chexbert = load_chexbert_csv(d.chexbert_csv) if d.chexbert_csv else None
+
     def batcher(split, n_context=0, shuffle=True):
         return MRGBatcher(
             ann[split], tok, loader, d.batch_size, max_len=d.max_len,
             num_views=d.num_views, prompt_before=d.prompt,
             prompt_after=d.prompt_after, n_context=n_context,
+            context_mode=d.context_retrieval_mode,
+            context_keyword=d.context_keyword, chexbert_labels=chexbert,
+            num_workers=d.num_workers,
         )
     return ann, tok, batcher
 
@@ -299,6 +309,12 @@ def fit_mrg(cfg: RunConfig) -> dict:
 def evaluate_mrg(model, params, batcher, tok, gen_fn, mesh=None,
                  max_batches: int = 50) -> dict:
     gts, res = {}, {}
+    n_total = -(-len(batcher.samples) // batcher.batch_size)
+    if n_total > max_batches:
+        print(
+            f"[evaluate_mrg] truncating validation to {max_batches} of "
+            f"{n_total} batches (max_batches)"
+        )
     for bi, batch in enumerate(batcher.batches(shuffle=False,
                                                drop_last=False)):
         if bi >= max_batches:
@@ -495,7 +511,15 @@ def fit_classify(cfg: RunConfig) -> dict:
             labels = np.stack(
                 [extract_labels(r) for r in batch["reports"]]
             ).astype(np.float32)
-            batch = dict(batch, labels=labels)
+            if t.mixup > 0 or t.cutmix > 0:
+                mrng = np.random.default_rng((t.seed, epoch, i))
+                imgs, labels = mixup_cutmix(
+                    mrng, batch["images"], labels,
+                    mixup_alpha=t.mixup, cutmix_alpha=t.cutmix,
+                )
+                batch = dict(batch, images=imgs, labels=labels)
+            else:
+                batch = dict(batch, labels=labels)
             sub = jax.random.fold_in(rng, (epoch << 20) + i)
             state, metrics = step(state, _device_batch(batch, mesh), sub)
             ml.update(loss=float(metrics["loss"]))
