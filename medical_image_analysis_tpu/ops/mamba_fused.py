@@ -29,10 +29,11 @@ un-flipped in VMEM), so the caller's merge is ``y0 + y1`` plus one
 transpose for the column-major pair.
 
 Backward: a reverse-grid kernel recomputes states from saved chunk
-carries and emits du (w.r.t. the conv output), per-block partials for
-dB/dC/dt_r, and accumulated dA/dD/d dt_bias/d W_dt; the conv/x_proj
-input gradients close in XLA via ``jax.vjp`` of the (cheap) conv
-recompute — those are plain GEMMs/4-tap convs that XLA fuses well.
+carries and emits du (w.r.t. the conv output), u and silu'(pre)
+(input-dtype), per-block partials for dB/dC/dt_r, and accumulated
+dA/dD/d dt_bias/d W_dt; the closure in XLA is then pure input-dtype
+elementwise + transposed-conv shifts + fp32-accumulated reductions —
+no recompute.
 """
 
 from __future__ import annotations
@@ -196,6 +197,7 @@ def _fused_bwd_kernel(
     x_ref, xhalo_ref, xdbl_ref, cw_ref, cb_ref, dtw_ref, db_ref, at_ref,
     d_ref, car_ref, dy_ref,
     du_ref, ddtr_ref, dbm_ref, dcm_ref, da_ref, dd_ref, ddb_ref, ddtw_ref,
+    u_ref, ds_ref,
     g_ref,
     *, chunk, taps, k_dirs, rank, n, delta_softplus, seq, use_conv,
     lp, seq_len,
@@ -214,10 +216,16 @@ def _fused_bwd_kernel(
         halo = jnp.where(first_chunk, jnp.zeros_like(halo), halo)
         rows = jnp.concatenate([halo[-(taps - 1):], x], axis=0)
         pre = _conv_rows(rows, cw_ref[0], cb_ref[0, 0])
-        u = _silu(pre)
+        sig = jax.nn.sigmoid(pre)
+        u = pre * sig
+        dsilu = sig * (1.0 + pre * (1.0 - sig))
     else:
         u = x
+        dsilu = jnp.ones_like(x)
     u = u * _valid_rows(pl.num_programs(2) - 1 - l, chunk, rev, lp, seq_len)
+    # emitted for the XLA closure (saves the conv/silu recompute there)
+    u_ref[0] = u.astype(u_ref.dtype)
+    ds_ref[0] = dsilu.astype(ds_ref.dtype)
 
     xdbl = xdbl_ref[0]
     dtr = xdbl[:, :rank]
@@ -260,9 +268,7 @@ def _fused_bwd_kernel(
     ddt_b = gb * u
     ddt_tot = (ddt_a + ddt_b) * sig
     du = dt * gb + dy * d_ref[0, 0][None, :]  # grad wrt u = silu(conv(x))
-
-    du = jnp.where(rev, _flip_rows(du), du)  # back to source order
-    du_ref[0] = du.astype(du_ref.dtype)
+    du_ref[0] = du.astype(du_ref.dtype)  # scan order
     ddtr_ref[0, 0] = jnp.dot(
         ddt_tot, dtw_ref[0].T, preferred_element_type=jnp.float32
     )
@@ -507,7 +513,7 @@ def _core_bwd(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, chunk, block_d), lambda bk, d, l: (bk, rlmap(bk, d, l), d)
+                (1, chunk, block_d), lambda bk, d, l: (bk, nl - 1 - l, d)
             ),
             pl.BlockSpec(
                 (1, 1, chunk, rank), lambda bk, d, l: (bk, d, nl - 1 - l, 0)
@@ -524,9 +530,15 @@ def _core_bwd(
             pl.BlockSpec(
                 (1, rank, block_d), lambda bk, d, l: (bk, 0, d)
             ),
+            pl.BlockSpec(
+                (1, chunk, block_d), lambda bk, d, l: (bk, nl - 1 - l, d)
+            ),
+            pl.BlockSpec(
+                (1, chunk, block_d), lambda bk, d, l: (bk, nl - 1 - l, d)
+            ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * k_dirs, lp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((b * k_dirs, lp, dp), xs.dtype),
             jax.ShapeDtypeStruct((b * k_dirs, ndb, lp, rank), jnp.float32),
             jax.ShapeDtypeStruct((b * k_dirs, ndb, lp, n), jnp.float32),
             jax.ShapeDtypeStruct((b * k_dirs, ndb, lp, n), jnp.float32),
@@ -534,6 +546,8 @@ def _core_bwd(
             jax.ShapeDtypeStruct((b * k_dirs, 1, dp), jnp.float32),
             jax.ShapeDtypeStruct((b * k_dirs, 1, dp), jnp.float32),
             jax.ShapeDtypeStruct((b * k_dirs, rank, dp), jnp.float32),
+            jax.ShapeDtypeStruct((b * k_dirs, lp, dp), xs.dtype),
+            jax.ShapeDtypeStruct((b * k_dirs, lp, dp), xs.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((n, block_d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -542,13 +556,16 @@ def _core_bwd(
         interpret=interpret,
     )(xs_p, xs_p, xdbl, cw_p, cb_p, dtw_p, db_p, at_p, dv_p, carries, dy_p)
 
-    (du_p, ddtr_p, dbm_p, dcm_p, da_p, dd_p, ddb_p, ddtw_p) = outs
+    (du_p, ddtr_p, dbm_p, dcm_p, da_p, dd_p, ddb_p, ddtw_p,
+     u_p, ds_p) = outs
 
-    # Close the conv/x_proj graph in XLA, on *padded* lengths so scan
-    # order (pads at the head of reversed directions) lines up with the
-    # kernels' row indexing; pad rows carry zero gradients by the
-    # kernels' validity masking.
-    du = du_p[:, :, :d_in]  # (B*K, Lp, D) source order
+    # Close the conv/x_proj graph in XLA, on *padded* lengths and in
+    # SCAN order throughout (pads at the head of reversed directions
+    # line up with the kernel's row indexing; pad rows carry zero
+    # gradients by the kernel's validity masking). The kernel emits
+    # u = silu(conv(x)) and silu'(pre) so nothing is recomputed here.
+    cdt = xs.dtype
+    du_scan = du_p[:, :, :d_in]
     dx_dbl = jnp.concatenate(
         [
             jnp.sum(ddtr_p, axis=1),
@@ -556,7 +573,7 @@ def _core_bwd(
             jnp.sum(dcm_p, axis=1),
         ],
         axis=-1,
-    )  # (B*K, Lp, C) scan order
+    )  # (B*K, Lp, C) scan order, fp32
 
     k_of = jnp.arange(b * k_dirs) % k_dirs
     rev = (k_of % 2 == 1)[:, None, None]
@@ -564,38 +581,61 @@ def _core_bwd(
     def scan_seq(arr):  # (B*K, Lp, D) source order <-> scan order
         return jnp.where(rev, jnp.flip(arr, axis=1), arr)
 
-    xs_u = xs_p[:, :, :, :d_in]
-    if s == 2:
-        x_src = jnp.where(
-            (k_of // 2 == 1)[:, None, None],
-            jnp.repeat(xs_u[:, 1], k_dirs, axis=0),
-            jnp.repeat(xs_u[:, 0], k_dirs, axis=0),
-        )
-    else:
-        x_src = jnp.repeat(xs_u[:, 0], k_dirs, axis=0)
-    x_scan = scan_seq(x_src)
+    # du_total = scan-path grad + x_proj-path grad, both w.r.t. u.
+    du_total = du_scan + jnp.einsum(
+        "blc,bdc->bld", dx_dbl.astype(cdt), wx_t[k_of].astype(cdt),
+        preferred_element_type=jnp.float32,
+    ).astype(cdt)
 
-    # du_total = scan-path grad + x_proj-path grad, both w.r.t.
-    # u = silu(conv(x)); then the conv itself closes via jax.vjp.
-    du_total_scan = scan_seq(du) + jnp.einsum(
-        "blc,bdc->bld", dx_dbl, wx_t[k_of]
-    )
-
+    u_scan = u_p[:, :, :d_in]
     if use_conv:
-        h_scan, conv_vjp = jax.vjp(
-            lambda x_, w_, b_: _batched_conv_silu(x_, w_[k_of], b_[k_of]),
-            x_scan, conv_w, conv_b,
+        dpre = du_total * ds_p[:, :, :d_in]
+        # transposed causal conv: dx[s] = sum_j w[j] dpre[s + taps-1-j]
+        w_rows = conv_w[k_of].astype(cdt)  # (B*K, taps, D)
+        dpre_pad = jnp.pad(dpre, ((0, 0), (0, taps - 1), (0, 0)))
+        dx_scan = sum(
+            w_rows[:, j][:, None, :]
+            * dpre_pad[:, taps - 1 - j : taps - 1 - j + lp]
+            for j in range(taps)
         )
-        dx_scan, dconv_w, dconv_b = conv_vjp(du_total_scan)
+        # x in scan order, only needed for the conv weight grad
+        xs_u = xs_p[:, :, :, :d_in].astype(cdt)
+        if s == 2:
+            x_src = jnp.where(
+                (k_of // 2 == 1)[:, None, None],
+                jnp.repeat(xs_u[:, 1], k_dirs, axis=0),
+                jnp.repeat(xs_u[:, 0], k_dirs, axis=0),
+            )
+        else:
+            x_src = jnp.repeat(xs_u[:, 0], k_dirs, axis=0)
+        x_scan = scan_seq(x_src)
+        x_pad = jnp.pad(x_scan, ((0, 0), (taps - 1, 0), (0, 0)))
+        dw_rows = jnp.stack(
+            [
+                jnp.einsum(
+                    "bld,bld->bd", dpre, x_pad[:, j : j + lp],
+                    preferred_element_type=jnp.float32,
+                )
+                for j in range(taps)
+            ],
+            axis=1,
+        )  # (B*K, taps, D)
+        dconv_w = jax.ops.segment_sum(dw_rows, k_of, num_segments=k_dirs)
+        dconv_b = jax.ops.segment_sum(
+            jnp.sum(dpre.astype(jnp.float32), axis=1), k_of,
+            num_segments=k_dirs,
+        )[:, None, :]
     else:
-        h_scan = x_scan
-        dx_scan = du_total_scan
+        dx_scan = du_total
         dconv_w = jnp.zeros_like(conv_w)
         dconv_b = jnp.zeros_like(conv_b)
 
-    # x_proj weight grad: dWx_t[k] = sum_{b,l} h[b,l,:]^T dx_dbl[b,l,:].
+    # x_proj weight grad: dWx_t[k] = sum_{b,l} u[b,l,:]^T dx_dbl[b,l,:].
     dwx_t = jax.ops.segment_sum(
-        jnp.einsum("bld,blc->bdc", h_scan.astype(jnp.float32), dx_dbl),
+        jnp.einsum(
+            "bld,blc->bdc", u_scan, dx_dbl.astype(cdt),
+            preferred_element_type=jnp.float32,
+        ),
         k_of, num_segments=k_dirs,
     )
 
@@ -628,23 +668,6 @@ def _core_bwd(
         da.astype(a_t.dtype),
         dd.astype(d_vec.dtype)[:, None, :],
     )
-
-
-def _batched_conv_silu(x, w_rows, b_rows):
-    """silu(causal depthwise conv) with per-row weights.
-
-    x (B, L, D); w_rows (B, taps, D); b_rows (B, 1, D).
-    """
-    taps = w_rows.shape[1]
-    lpad = jnp.pad(x, ((0, 0), (taps - 1, 0), (0, 0)))
-    acc = jnp.zeros(x.shape, jnp.float32)
-    ll = x.shape[1]
-    for j in range(taps):
-        acc = acc + (
-            w_rows[:, j][:, None, :].astype(jnp.float32)
-            * lpad[:, j : j + ll].astype(jnp.float32)
-        )
-    return _silu(acc + b_rows.astype(jnp.float32))
 
 
 _mamba_fused_core.defvjp(_core_fwd, _core_bwd)
