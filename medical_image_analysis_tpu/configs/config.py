@@ -66,6 +66,7 @@ class TrainConfig:
     zero_opt: bool = True  # ZeRO-1 analog of the deepspeed strategy flag
     mixup: float = 0.0  # mixup alpha for the classify recipe (0 = off)
     cutmix: float = 0.0  # cutmix alpha
+    ema_decay: float = 0.0  # ModelEma analog (VMamba --model-ema); 0 = off
     seed: int = 42
     log_every: int = 10
     val_every_epochs: int = 1

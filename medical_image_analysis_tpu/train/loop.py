@@ -100,6 +100,7 @@ def _finalize_step(loss_fn, tx, state, mesh, t, specs=None):
         loss_fn, tx, mesh=mesh, param_specs=specs,
         accum_steps=t.accum_steps, zero_opt=t.zero_opt,
         state_for_shardings=state if mesh is not None else None,
+        ema_decay=t.ema_decay,
     )
     return state, step
 
@@ -493,7 +494,7 @@ def fit_classify(cfg: RunConfig) -> dict:
     tx = make_adamw(warmup_cosine(t.lr, t.warmup_steps, steps),
                     weight_decay=t.weight_decay, grad_clip=t.grad_clip,
                     params_for_mask=params)
-    state = TrainState.create(params, tx)
+    state = TrainState.create(params, tx, ema=t.ema_decay > 0)
     state, start_epoch = _maybe_resume(state, t)
 
     def loss_fn(params, batch, rng):

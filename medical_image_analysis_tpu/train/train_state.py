@@ -33,13 +33,20 @@ class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any
     opt_state: Any
+    # Shadow weights for eval (timm ModelEma analog the reference's
+    # VMamba classification runner uses, ``VMamba/classification/main.py``
+    # ``--model-ema``). None when EMA is disabled.
+    ema_params: Any = None
 
     @classmethod
-    def create(cls, params, tx):
+    def create(cls, params, tx, ema: bool = False):
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
+            ema_params=jax.tree_util.tree_map(jnp.copy, params)
+            if ema
+            else None,
         )
 
 
@@ -86,7 +93,16 @@ def state_shardings(
         )
     else:
         o_shard = jax.tree_util.tree_map(lambda _: repl, state.opt_state)
-    return TrainState(step=repl, params=p_shard, opt_state=o_shard)
+    e_shard = (
+        None
+        if state.ema_params is None
+        else jax.tree_util.tree_map(lambda _: repl, state.ema_params)
+        if param_specs is None
+        else p_shard
+    )
+    return TrainState(
+        step=repl, params=p_shard, opt_state=o_shard, ema_params=e_shard
+    )
 
 
 def shard_state(state: TrainState, mesh, param_specs=None,
@@ -141,6 +157,7 @@ def make_train_step(
     zero_opt: bool = True,
     donate: bool = True,
     state_for_shardings: TrainState | None = None,
+    ema_decay: float = 0.0,
 ):
     """Returns jitted ``step(state, batch, rng) -> (state, metrics)``.
 
@@ -160,8 +177,19 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
+        ema = state.ema_params
+        if ema is not None and ema_decay > 0.0:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: (
+                    ema_decay * e.astype(jnp.float32)
+                    + (1.0 - ema_decay) * p.astype(jnp.float32)
+                ).astype(e.dtype),
+                ema,
+                params,
+            )
         new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state
+            step=state.step + 1, params=params, opt_state=opt_state,
+            ema_params=ema,
         )
         return new_state, {"loss": loss, "grad_norm": gnorm}
 

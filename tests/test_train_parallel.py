@@ -276,3 +276,61 @@ def test_tp_zero_sharded_step_update_equality():
     np.testing.assert_allclose(
         float(m["loss"]), float(mr["loss"]), rtol=1e-6
     )
+
+
+def test_ema_tracking_and_state_roundtrip():
+    """EMA shadow params follow p_ema = d*p_ema + (1-d)*p and survive a
+    full train-state save/restore (ModelEma analog, VMamba main.py)."""
+    from medical_image_analysis_tpu.ckpt.checkpoint import (
+        auto_resume_helper,
+        restore_train_state,
+        save_train_state,
+    )
+
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    tx = optax.sgd(0.5)
+    decay = 0.9
+    state = TrainState.create(params, tx, ema=True)
+    step = make_train_step(
+        lambda p, b, r: jnp.sum((p["w"] - b) ** 2), tx, ema_decay=decay
+    )
+    batch = jnp.zeros((4,), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+
+    expect_ema = np.ones(4)
+    expect_p = np.ones(4)
+    for _ in range(3):
+        state, _ = step(state, batch, rng)
+        expect_p = expect_p - 0.5 * 2 * expect_p  # sgd on sum((w-0)^2)
+        expect_ema = decay * expect_ema + (1 - decay) * expect_p
+    np.testing.assert_allclose(
+        np.asarray(state.params["w"]), expect_p, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.ema_params["w"]), expect_ema, rtol=1e-6
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        save_train_state(d, state, epoch=1)
+        path = auto_resume_helper(d)
+        # fresh buffers: the originals were donated by the jitted step
+        target = TrainState.create(
+            {"w": jnp.ones((4,), jnp.float32)}, tx, ema=True
+        )
+        restored, epoch = restore_train_state(path, target)
+        assert epoch == 1
+        np.testing.assert_allclose(
+            np.asarray(restored.ema_params["w"]), expect_ema, rtol=1e-6
+        )
+
+
+def test_ema_disabled_is_none():
+    params = {"w": jnp.ones((2,), jnp.float32)}
+    tx = optax.sgd(0.1)
+    state = TrainState.create(params, tx)
+    assert state.ema_params is None
+    step = make_train_step(
+        lambda p, b, r: jnp.sum(p["w"] ** 2), tx, ema_decay=0.99
+    )
+    state, _ = step(state, jnp.zeros(()), jax.random.PRNGKey(0))
+    assert state.ema_params is None
