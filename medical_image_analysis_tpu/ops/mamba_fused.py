@@ -50,6 +50,7 @@ from .selective_scan_pallas import (
     _interpret_default,
     _pad_to,
     _pick_block_d,
+    _pick_chunk,
     _scan_states,
 )
 
@@ -712,7 +713,7 @@ def mamba_fused_dirs(
         conv_w = jnp.zeros((k_dirs, 4, d_in), jnp.float32)
     seq = True
     if chunk is None:
-        chunk = 32
+        chunk = _pick_chunk(xr.shape[1])
     if block_d is None:
         block_d = _pick_block_d(d_in)
     if not interpret:

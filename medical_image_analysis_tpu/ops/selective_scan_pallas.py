@@ -232,6 +232,21 @@ def _pad_to(x, mult, axis):
     return jnp.pad(x, widths)
 
 
+def _pick_chunk(seq_len: int) -> int:
+    """chunk=128 when row padding stays under ~35%, else 32.
+
+    Sweep-tuned on v5e (tools/sweep_scan.py + VSSM/ARM stage shapes):
+    long sequences want chunk=128 (fewer grid steps, better write
+    amortization — VSSM stage 1 L=3136: 32 ms @ c32 -> 23 ms @ c128 per
+    layer forward; stage 2 L=784 wins both directions). Short/mid
+    sequences keep 32: the backward kernel (recompute + adjoint chain,
+    ~6 live (chunk, N, bd) stacks) degrades at bigger chunks faster
+    than the forward gains — ARM-B (L=197) model fwd+bwd is 216 ms
+    @ c32 vs 228 ms @ c128, and training throughput is the headline.
+    """
+    return 128 if seq_len >= 512 else 32
+
+
 def _pick_block_d(d_total: int) -> int:
     """Largest lane-aligned block that divides the 128-padded channel
     count (sweep-tuned: bigger blocks amortize per-grid-point overhead)."""
@@ -424,10 +439,13 @@ def _core_bwd(delta_softplus, chunk, block_d, interpret, seq, res, dy):
 _selective_scan_core.defvjp(_core_fwd, _core_bwd)
 
 
-def _resolve_tiling(chunk, block_d, d_total, scan_impl, interpret):
+def _resolve_tiling(chunk, block_d, d_total, scan_impl, interpret,
+                    seq_len=None):
     seq = scan_impl == "seq"
     if chunk is None:
-        chunk = 32 if seq else 128
+        chunk = _pick_chunk(seq_len) if (seq and seq_len) else (
+            32 if seq else 128
+        )
     if block_d is None:
         block_d = _pick_block_d(d_total)
     if not interpret:
@@ -463,7 +481,7 @@ def selective_scan_pallas(
         interpret = _interpret_default()
     batch, seq_len, d_total = u.shape
     chunk, block_d, seq = _resolve_tiling(
-        chunk, block_d, d_total, scan_impl, interpret
+        chunk, block_d, d_total, scan_impl, interpret, seq_len
     )
     n = A.shape[1]
 
@@ -552,7 +570,7 @@ def selective_scan_dirs(
         interpret = _interpret_default()
     batch, k, seq_len, d = u.shape
     chunk, block_d, seq = _resolve_tiling(
-        chunk, block_d, d, scan_impl, interpret
+        chunk, block_d, d, scan_impl, interpret, seq_len
     )
     n = A.shape[-1]
     u_f = u.reshape(batch * k, seq_len, d)
