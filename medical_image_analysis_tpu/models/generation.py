@@ -39,8 +39,24 @@ def _apply_repetition_penalty(logits, seq, penalty):
     v = logits.shape[-1]
     onehot = jax.nn.one_hot(jnp.where(seq < 0, v, seq), v + 1, dtype=jnp.float32)
     seen = onehot.sum(axis=1)[..., :v] > 0  # (B, V)
+    return _penalize_seen(logits, seen, penalty)
+
+
+def _penalize_seen(logits, seen, penalty):
+    """Apply the repetition penalty given a precomputed (B, V) seen mask.
+
+    The decode loops carry ``seen`` incrementally (one scatter per step)
+    instead of re-deriving it from the sequence — the O(B*T*V) fused
+    one-hot reduction per step becomes O(B*V)."""
+    if penalty == 1.0:
+        return logits
     penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
     return jnp.where(seen, penalized, logits)
+
+
+def _mark_seen(seen, tok):
+    """seen: (B, V) bool; tok: (B,) int32 -> seen with tok rows set."""
+    return seen.at[jnp.arange(seen.shape[0]), tok].set(True)
 
 
 def _ban_eos_before_min(logits, t, eos_id, min_new_tokens):
@@ -62,29 +78,32 @@ def greedy_generate(
     repetition_penalty: float = 1.0,
 ):
     """Greedy decode; returns (B, max_new_tokens), EOS-padded after stop."""
-    b = first_logits.shape[0]
+    b, v = first_logits.shape
     seq = jnp.full((b, max_new_tokens), -1, jnp.int32)
     done = jnp.zeros((b,), jnp.bool_)
+    seen = jnp.zeros((b, v), jnp.bool_)
 
-    def pick(logits, seq, t):
-        logits = _apply_repetition_penalty(logits, seq, repetition_penalty)
+    def pick(logits, seen, t):
+        logits = _penalize_seen(logits, seen, repetition_penalty)
         logits = _ban_eos_before_min(logits, t, eos_id, min_new_tokens)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    tok = pick(first_logits, seq, 0)
+    tok = pick(first_logits, seen, 0)
     seq = seq.at[:, 0].set(tok)
+    seen = _mark_seen(seen, tok)
     done = done | (tok == eos_id)
 
     def body(t, state):
-        seq, done, cache, tok = state
+        seq, seen, done, cache, tok = state
         logits, cache = decode_step(tok[:, None], cache, t)
-        nxt = jnp.where(done, eos_id, pick(logits, seq, t))
+        nxt = jnp.where(done, eos_id, pick(logits, seen, t))
         seq = seq.at[:, t].set(nxt)
+        seen = _mark_seen(seen, nxt)
         done = done | (nxt == eos_id)
-        return seq, done, cache, nxt
+        return seq, seen, done, cache, nxt
 
-    seq, done, cache, _ = jax.lax.fori_loop(
-        1, max_new_tokens, body, (seq, done, cache, tok)
+    seq, seen, done, cache, _ = jax.lax.fori_loop(
+        1, max_new_tokens, body, (seq, seen, done, cache, tok)
     )
     return jnp.where(seq < 0, eos_id, seq)
 
@@ -105,9 +124,10 @@ def sample_generate(
     b, v = first_logits.shape
     seq = jnp.full((b, max_new_tokens), -1, jnp.int32)
     done = jnp.zeros((b,), jnp.bool_)
+    seen = jnp.zeros((b, v), jnp.bool_)
 
-    def pick(logits, seq, t, key):
-        logits = _apply_repetition_penalty(logits, seq, repetition_penalty)
+    def pick(logits, seen, t, key):
+        logits = _penalize_seen(logits, seen, repetition_penalty)
         logits = _ban_eos_before_min(logits, t, eos_id, min_new_tokens)
         logits = logits / jnp.maximum(temperature, 1e-6)
         if top_p < 1.0:
@@ -122,21 +142,23 @@ def sample_generate(
         return jax.random.categorical(key, logits).astype(jnp.int32)
 
     rng, key = jax.random.split(rng)
-    tok = pick(first_logits, seq, 0, key)
+    tok = pick(first_logits, seen, 0, key)
     seq = seq.at[:, 0].set(tok)
+    seen = _mark_seen(seen, tok)
     done = done | (tok == eos_id)
 
     def body(t, state):
-        seq, done, cache, tok, rng = state
+        seq, seen, done, cache, tok, rng = state
         rng, key = jax.random.split(rng)
         logits, cache = decode_step(tok[:, None], cache, t)
-        nxt = jnp.where(done, eos_id, pick(logits, seq, t, key))
+        nxt = jnp.where(done, eos_id, pick(logits, seen, t, key))
         seq = seq.at[:, t].set(nxt)
+        seen = _mark_seen(seen, nxt)
         done = done | (nxt == eos_id)
-        return seq, done, cache, nxt, rng
+        return seq, seen, done, cache, nxt, rng
 
-    seq, done, cache, _, _ = jax.lax.fori_loop(
-        1, max_new_tokens, body, (seq, done, cache, tok, rng)
+    seq, seen, done, cache, _, _ = jax.lax.fori_loop(
+        1, max_new_tokens, body, (seq, seen, done, cache, tok, rng)
     )
     return jnp.where(seq < 0, eos_id, seq)
 
@@ -158,19 +180,27 @@ def beam_generate(
     nb = num_beams
     v = first_logits.shape[-1]
 
-    def expand(logits, alive_seq, alive_logp, fin_seq, fin_scores, t):
+    def expand(logits, alive_seq, alive_logp, seen, fin_seq, fin_scores, t):
         """One beam-expansion step from per-beam logits (B, nb, V)."""
-        lp = _apply_repetition_penalty(
+        lp = _penalize_seen(
             logits.reshape(batch * nb, v),
-            alive_seq.reshape(batch * nb, -1),
+            seen.reshape(batch * nb, v),
             repetition_penalty,
         )
         lp = _ban_eos_before_min(lp, t, eos_id, min_new_tokens)
         lp = jax.nn.log_softmax(lp, axis=-1).reshape(batch, nb, v)
         cand = alive_logp[..., None] + lp
-        top_logp, top_idx = jax.lax.top_k(cand.reshape(batch, nb * v), 2 * nb)
-        beam_idx = top_idx // v
-        tok = (top_idx % v).astype(jnp.int32)
+        # Two-stage exact top-2nb: per-beam top-2nb, then combine — same
+        # result and tie order as a flat top_k over nb*V (beam-major),
+        # but the big-V stage runs per row instead of over the nb*V blob.
+        s1_logp, s1_idx = jax.lax.top_k(cand, 2 * nb)  # (B, nb, 2nb)
+        top_logp, pos = jax.lax.top_k(
+            s1_logp.reshape(batch, nb * 2 * nb), 2 * nb
+        )
+        beam_idx = pos // (2 * nb)
+        tok = jnp.take_along_axis(
+            s1_idx.reshape(batch, nb * 2 * nb), pos, axis=1
+        ).astype(jnp.int32)
         seqs = jnp.take_along_axis(alive_seq, beam_idx[..., None], axis=1)
         seqs = seqs.at[:, :, t].set(tok)  # dynamic t -> scatter
         is_eos = tok == eos_id
@@ -188,36 +218,40 @@ def beam_generate(
         alive_seq = jnp.take_along_axis(seqs, apick[..., None], axis=1)
         bidx = jnp.take_along_axis(beam_idx, apick, axis=1)
         ntok = jnp.take_along_axis(tok, apick, axis=1)
-        return alive_seq, alive_logp, fin_seq, fin_scores, bidx, ntok
+        seen = jnp.take_along_axis(seen, bidx[..., None], axis=1)
+        seen = _mark_seen(
+            seen.reshape(batch * nb, v), ntok.reshape(batch * nb)
+        ).reshape(batch, nb, v)
+        return alive_seq, alive_logp, seen, fin_seq, fin_scores, bidx, ntok
 
     alive_seq = jnp.full((batch, nb, max_new_tokens), -1, jnp.int32)
     # Only beam 0 live at t=0 (all beams identical after prefill).
     alive_logp = jnp.tile(jnp.array([0.0] + [NEG_INF] * (nb - 1)), (batch, 1))
     fin_seq = jnp.full((batch, nb, max_new_tokens), eos_id, jnp.int32)
     fin_scores = jnp.full((batch, nb), NEG_INF)
+    seen = jnp.zeros((batch, nb, v), jnp.bool_)
 
     logits0 = first_logits.reshape(batch, nb, v)
-    alive_seq, alive_logp, fin_seq, fin_scores, bidx, tok = expand(
-        logits0, alive_seq, alive_logp, fin_seq, fin_scores, 0
+    alive_seq, alive_logp, seen, fin_seq, fin_scores, bidx, tok = expand(
+        logits0, alive_seq, alive_logp, seen, fin_seq, fin_scores, 0
     )
     flat_idx = (jnp.arange(batch)[:, None] * nb + bidx).reshape(-1)
     cache = reorder_cache_fn(cache, flat_idx)
 
     def body(t, state):
-        alive_seq, alive_logp, fin_seq, fin_scores, cache, tok = state
+        alive_seq, alive_logp, seen, fin_seq, fin_scores, cache, tok = state
         logits, cache = decode_step(tok.reshape(batch * nb, 1), cache, t)
-        alive_seq, alive_logp, fin_seq, fin_scores, bidx, tok = expand(
+        alive_seq, alive_logp, seen, fin_seq, fin_scores, bidx, tok = expand(
             logits.reshape(batch, nb, v),
-            alive_seq, alive_logp, fin_seq, fin_scores, t,
+            alive_seq, alive_logp, seen, fin_seq, fin_scores, t,
         )
         flat_idx = (jnp.arange(batch)[:, None] * nb + bidx).reshape(-1)
         cache = reorder_cache_fn(cache, flat_idx)
-        return alive_seq, alive_logp, fin_seq, fin_scores, cache, tok
+        return alive_seq, alive_logp, seen, fin_seq, fin_scores, cache, tok
 
-    state = (alive_seq, alive_logp, fin_seq, fin_scores, cache, tok)
-    alive_seq, alive_logp, fin_seq, fin_scores, cache, _ = jax.lax.fori_loop(
-        1, max_new_tokens, body, state
-    )
+    state = (alive_seq, alive_logp, seen, fin_seq, fin_scores, cache, tok)
+    (alive_seq, alive_logp, seen, fin_seq, fin_scores, cache,
+     _) = jax.lax.fori_loop(1, max_new_tokens, body, state)
 
     # If nothing finished, fall back to the best alive beam.
     alive_scores = alive_logp / float(max_new_tokens) ** length_penalty
