@@ -139,8 +139,13 @@ class LlamaAttention(nn.Module):
             k_all = jnp.repeat(k_all, rep, axis=2)
             v_all = jnp.repeat(v_all, rep, axis=2)
 
+        # bf16 inputs with fp32 accumulation: each bf16*bf16 product is
+        # exact in fp32, so this equals the cast-to-fp32 einsum bit for
+        # bit while avoiding the multi-pass fp32 matmul on the MXU (and
+        # 2x the KV-cache read traffic at decode time).
         attn = jnp.einsum(
-            "blhd,bshd->bhls", q.astype(jnp.float32), k_all.astype(jnp.float32)
+            "blhd,bshd->bhls", q, k_all,
+            preferred_element_type=jnp.float32,
         ) * hd**-0.5
         attn = attn + mask  # (B, 1|nh, L, S) additive
         attn = jax.nn.softmax(attn, axis=-1)

@@ -44,8 +44,10 @@ def main():
     )
     before = jnp.full((b, 4), 5, jnp.int32)
     after = jnp.full((b, 6), 7, jnp.int32)
+    # prompt = 196 ARM-B image tokens + 10 text ids = 206; + 100 new
+    # tokens needs 306 cache slots -> 320 (lane-aligned).
     gcfg = GenerateConfig(num_beams=beams, max_new_tokens=100,
-                          min_new_tokens=80, max_cache_len=256)
+                          min_new_tokens=80, max_cache_len=320)
 
     params = model.init(
         jax.random.PRNGKey(0), images, before, after,
