@@ -62,9 +62,11 @@ class HybridAttention(nn.Module):
             rep = nh // nkv
             k_all = jnp.repeat(k_all, rep, axis=2)
             v_all = jnp.repeat(v_all, rep, axis=2)
+        # bf16 operands + fp32 accumulation: exact products, no
+        # multi-pass fp32 MXU matmul (see models/llm.py LlamaAttention).
         attn = jnp.einsum(
-            "blhd,bshd->bhls",
-            q_rot.astype(jnp.float32), k_all.astype(jnp.float32),
+            "blhd,bshd->bhls", q_rot, k_all,
+            preferred_element_type=jnp.float32,
         ) * hd**-0.5
         attn = jax.nn.softmax(attn + mask, axis=-1)
         self_out = jnp.einsum(
@@ -82,7 +84,8 @@ class HybridAttention(nn.Module):
             ck_ = jnp.repeat(ck_, rep, axis=2)
             cv_ = jnp.repeat(cv_, rep, axis=2)
         xattn = jnp.einsum(
-            "blhd,bshd->bhls", q.astype(jnp.float32), ck_.astype(jnp.float32)
+            "blhd,bshd->bhls", q, ck_,
+            preferred_element_type=jnp.float32,
         ) * hd**-0.5
         xattn = jax.nn.softmax(xattn, axis=-1)
         cross_out = jnp.einsum(
