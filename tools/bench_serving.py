@@ -4,9 +4,10 @@ Reference eval decoding settings (R2GenCSR/configs/config.py:62-68):
 beam 3, 120 max / 80 min new tokens, repetition penalty 2.0, length
 penalty 2.0. Reports p50 batch latency and reports/s/chip.
 
-Usage: python tools/bench_serving.py [batch] [beams]
+Usage: python tools/bench_serving.py [batch] [beams] [--int8]
 """
 
+import dataclasses
 import os
 import sys
 import time
@@ -29,11 +30,18 @@ from medical_image_analysis_tpu.train.loop import vision_preset  # noqa: E402
 
 
 def main():
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    beams = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    print(f"backend={jax.default_backend()} batch={b} beams={beams}")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    int8 = "--int8" in sys.argv
+    b = int(args[0]) if len(args) > 0 else 8
+    beams = int(args[1]) if len(args) > 1 else 3
+    print(
+        f"backend={jax.default_backend()} batch={b} beams={beams}"
+        f" int8={int8}"
+    )
 
     llm_cfg = LLM_CONFIGS["qwen1_5_0_5b"]
+    if int8:
+        llm_cfg = dataclasses.replace(llm_cfg, quant_int8=True)
     model = R2GenGPT(
         llm_cfg=llm_cfg, chosen="arm",
         vision_kwargs=vision_preset("arm", "base"),
@@ -53,7 +61,11 @@ def main():
         jax.random.PRNGKey(0), images, before, after,
         jnp.zeros((b, 8), jnp.int32), jnp.ones((b, 8), jnp.float32),
     )
-    params = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16), params)
+    params = jax.tree_util.tree_map(
+        lambda v: v.astype(jnp.bfloat16)
+        if jnp.issubdtype(v.dtype, jnp.floating) else v,
+        params,
+    )  # int8 kernels (and their fp32 scales' int8 partners) stay put
 
     gen = jax.jit(lambda p, im: model.apply(
         p, im, before, after, gcfg, method=model.generate
