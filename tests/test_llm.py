@@ -151,3 +151,35 @@ def test_beam_matches_hf(hf_pair):
     )
     out = np.asarray(out)[:, : ref.shape[1]]
     np.testing.assert_array_equal(out, ref)
+
+
+def test_incremental_seen_equals_sequence_formula():
+    """The greedy/sampling loops carry a (B, V) seen mask updated per
+    step; it must penalize exactly like re-deriving the mask from the
+    generated sequence (beam keeps the from-sequence formula)."""
+    import numpy as np
+
+    from medical_image_analysis_tpu.models.generation import (
+        _apply_repetition_penalty,
+        _mark_seen,
+        _penalize_seen,
+    )
+
+    rng = np.random.default_rng(0)
+    b, v, t = 3, 50, 7
+    logits = jnp.asarray(rng.standard_normal((b, v)), jnp.float32)
+    seq = jnp.asarray(rng.integers(0, v, (b, t)), jnp.int32)
+    # pad tail with -1 (unfilled) like the decode loops do
+    seq = jnp.concatenate(
+        [seq, jnp.full((b, 3), -1, jnp.int32)], axis=1
+    )
+
+    seen = jnp.zeros((b, v), jnp.bool_)
+    for i in range(t):
+        seen = _mark_seen(seen, seq[:, i])
+
+    np.testing.assert_allclose(
+        np.asarray(_penalize_seen(logits, seen, 2.0)),
+        np.asarray(_apply_repetition_penalty(logits, seq, 2.0)),
+        rtol=0, atol=0,
+    )
