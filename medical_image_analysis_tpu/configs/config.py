@@ -38,13 +38,24 @@ class DataConfig:
 
 @dataclasses.dataclass
 class ModelConfig:
-    task: str = "r2gengpt"  # r2gengpt | r2gencsr | am_mrg | r2gen_kg | emrrg
-    #                       | clip | mae | ar | swinchex | dp
-    vision: str = "swin"  # swin | vssm | arm
+    task: str = "r2gengpt"  # r2gengpt | r2gencsr | am_mrg | r2gen_kg
+    #   | mac_rrg | emrrg | r2gen | clip | mae | ar | swinchex | dp
+    #   | mamba_lm_sft
+    vision: str = "swin"  # swin | vssm | arm | vit
     vision_size: str = "base"  # tiny | base | large (per-family presets)
     llm: str = "qwen1_5_0_5b"  # key into models.llm.LLM_CONFIGS
     vision_kwargs: dict = dataclasses.field(default_factory=dict)
     llm_kwargs: dict = dataclasses.field(default_factory=dict)
+    # Extra constructor kwargs for the heads-heavy task models (AMMRG
+    # qformer_*, R2GenKG graph_dim/num_scales, R2GenPipeline r2gen_kwargs,
+    # MambaLM d_model/depth via lm_kwargs below).
+    task_kwargs: dict = dataclasses.field(default_factory=dict)
+    # Side-input artifacts (memory banks / graph tensors / agent context,
+    # SURVEY.md F3/F4, D6). Paths load .npz/.npy; absent paths synthesize
+    # from the train split (data/side_inputs.py). Knobs: dim (embedder
+    # width), max_chunks/max_entities (MAC), num_scales/base_nodes (KG).
+    side_inputs: dict = dataclasses.field(default_factory=dict)
+    lm_kwargs: dict = dataclasses.field(default_factory=dict)  # MambaLM
     mask_type: str = "random"  # mae: random | region
     mask_ratio: float = 0.75
     mask_ratio_inner: float = 0.75

@@ -36,6 +36,9 @@ class Sample:
     image_paths: list[str]
     report: str
     study_id: str | None = None
+    # Draft report from an earlier model pass (MAC-RRG `Draft_text`,
+    # MAC data_helper.py:64-66); the agents run over this text.
+    draft: str | None = None
 
 
 def load_annotations(path: str, dataset: str) -> dict[str, list[Sample]]:
@@ -55,6 +58,7 @@ def load_annotations(path: str, dataset: str) -> dict[str, list[Sample]]:
                 study_id=(
                     str(rec["study_id"]) if "study_id" in rec else None
                 ),
+                draft=rec.get("Draft_text"),
             ))
         out[split] = samples
     return out
@@ -88,22 +92,20 @@ def load_chexbert_csv(path: str) -> dict[str, np.ndarray]:
     return out
 
 
-def sample_context_ids(
-    rng: np.random.Generator,
+def context_index_split(
     samples: list[Sample],
-    n: int,
     mode: str = "keyword",
     keyword: str | list[str] = DEFAULT_CONTEXT_KEYWORD,
     chexbert_labels: dict[str, np.ndarray] | None = None,
-) -> tuple[list[int], list[int]]:
-    """Return (positive, negative) exemplar indices (context_sample,
-    R2GenCSR.py:309-372): ``random`` sampling, ``keyword`` splits on one
-    or several disease keywords, ``chexbert`` splits on the no-finding
-    column of a CheXbert csv (positives = any finding; negatives =
-    no_finding==1), falling back to the rule labeler when no csv."""
+) -> tuple[list[int], list[int]] | None:
+    """One-time (positive, negative) index split over the train split
+    (the O(dataset) part of context_sample, R2GenCSR.py:309-372).
+    ``random`` mode has no split (returns None); ``keyword`` splits on
+    disease keyword presence; ``chexbert`` on the no-finding column of a
+    CheXbert csv (positives = any finding), falling back to the rule
+    labeler when no csv."""
     if mode == "random":
-        idx = rng.choice(len(samples), 2 * n, replace=len(samples) < 2 * n)
-        return list(idx[:n]), list(idx[n:])
+        return None
     if mode == "chexbert":
         from ..evalx.chexbert import extract_labels
 
@@ -126,9 +128,38 @@ def sample_context_ids(
         ]
     pos = pos or list(range(len(samples)))
     neg = neg or list(range(len(samples)))
+    return pos, neg
+
+
+def draw_context_ids(
+    rng: np.random.Generator,
+    split: tuple[list[int], list[int]] | None,
+    n_samples: int,
+    n: int,
+) -> tuple[list[int], list[int]]:
+    """Per-batch-element draw from a precomputed split (or uniform for
+    ``random`` mode)."""
+    if split is None:
+        idx = rng.choice(n_samples, 2 * n, replace=n_samples < 2 * n)
+        return list(idx[:n]), list(idx[n:])
+    pos, neg = split
     pi = rng.choice(pos, n, replace=len(pos) < n)
     ni = rng.choice(neg, n, replace=len(neg) < n)
     return list(pi), list(ni)
+
+
+def sample_context_ids(
+    rng: np.random.Generator,
+    samples: list[Sample],
+    n: int,
+    mode: str = "keyword",
+    keyword: str | list[str] = DEFAULT_CONTEXT_KEYWORD,
+    chexbert_labels: dict[str, np.ndarray] | None = None,
+) -> tuple[list[int], list[int]]:
+    """Split + draw in one call (kept for one-shot callers; hot loops
+    should precompute :func:`context_index_split` once)."""
+    split = context_index_split(samples, mode, keyword, chexbert_labels)
+    return draw_context_ids(rng, split, len(samples), n)
 
 
 def group_study_two_views(
@@ -179,6 +210,8 @@ class MRGBatcher:
         chexbert_labels: dict | None = None,
         num_workers: int = 8,
         seed: int = 0,
+        regroup_views: bool = False,
+        extra_fn=None,
     ):
         self.samples = samples
         self.tok = tokenizer
@@ -188,8 +221,22 @@ class MRGBatcher:
         self.num_views = num_views
         self.n_context = n_context
         self.context_mode = context_mode
-        self.context_keyword = context_keyword
-        self.chexbert_labels = chexbert_labels
+        # Pos/neg split over the whole split is O(dataset) (and runs the
+        # rule labeler in chexbert mode) — compute it once, draw per batch.
+        self._context_split = (
+            context_index_split(
+                samples, context_mode, context_keyword, chexbert_labels
+            )
+            if n_context > 0
+            else None
+        )
+        # MIMIC two-view pooling re-samples the extra view per epoch
+        # (data_helper.py use_feature_mean=False re-draws per access).
+        self.regroup_views = regroup_views
+        # Optional per-sample side inputs: extra_fn(sample) -> dict of
+        # np arrays stacked into the batch (memory banks / graph / agent
+        # embeddings for the heads-heavy tasks).
+        self.extra_fn = extra_fn
         self.seed = seed
         self.rng = np.random.default_rng(seed)
         self._pool = None
@@ -226,13 +273,16 @@ class MRGBatcher:
             if epoch is not None
             else self.rng
         )
-        order = np.arange(len(self.samples))
+        samples = self.samples
+        if self.regroup_views:
+            samples = group_study_two_views(samples, rng)
+        order = np.arange(len(samples))
         if shuffle:
             rng.shuffle(order)
         bs = self.batch_size
         end = len(order) - (len(order) % bs if drop_last else 0)
         for i in range(0, end, bs):
-            chunk = [self.samples[j] for j in order[i : i + bs]]
+            chunk = [samples[j] for j in order[i : i + bs]]
             if len(chunk) < bs:
                 chunk = chunk + [chunk[-1]] * (bs - len(chunk))
             if self._pool is not None:
@@ -252,11 +302,9 @@ class MRGBatcher:
             if self.n_context > 0:
                 ctx_imgs = []
                 for _ in chunk:
-                    pi, ni = sample_context_ids(
-                        rng, self.samples, self.n_context,
-                        mode=self.context_mode,
-                        keyword=self.context_keyword,
-                        chexbert_labels=self.chexbert_labels,
+                    pi, ni = draw_context_ids(
+                        rng, self._context_split, len(self.samples),
+                        self.n_context,
                     )
                     ctx = [
                         self._views(self.samples[j])[0] for j in pi + ni
@@ -265,6 +313,10 @@ class MRGBatcher:
                 batch["context_images"] = np.stack(ctx_imgs).astype(
                     np.float32
                 )
+            if self.extra_fn is not None:
+                extras = [self.extra_fn(s) for s in chunk]
+                for k in extras[0]:
+                    batch[k] = np.stack([e[k] for e in extras])
             yield batch
 
 
@@ -318,8 +370,14 @@ def synthetic_annotations(
     ]
     def make(i):
         k = rng.integers(2, 5)
-        report = " . ".join(rng.choice(phrases, k, replace=False)) + " ."
-        return Sample(f"s{i}", [f"img_{i}_0.png", f"img_{i}_1.png"], report)
+        picked = rng.choice(phrases, k, replace=False)
+        report = " . ".join(picked) + " ."
+        # Draft = imperfect first pass (drop one phrase) for MAC-RRG.
+        draft = " . ".join(picked[: max(int(k) - 1, 1)]) + " ."
+        return Sample(
+            f"s{i}", [f"img_{i}_0.png", f"img_{i}_1.png"], report,
+            draft=draft,
+        )
 
     return {
         "train": [make(i) for i in range(n_train)],
@@ -348,10 +406,14 @@ def zip_image_loader(zip_path: str, input_size: int):
     import PIL.Image
 
     local = _threading.local()
+    handles: list[zipfile.ZipFile] = []  # every per-thread handle
+    lock = _threading.Lock()
 
     def handle() -> zipfile.ZipFile:
         if not hasattr(local, "zf"):
             local.zf = zipfile.ZipFile(zip_path)
+            with lock:
+                handles.append(local.zf)
         return local.zf
 
     def load(sample: Sample) -> np.ndarray:
@@ -363,6 +425,15 @@ def zip_image_loader(zip_path: str, input_size: int):
             views.append(host_preprocess(arr, input_size))
         return np.stack(views)
 
+    def close():
+        """Release every per-thread zip handle (call when the loader is
+        retired; handles otherwise live as long as the decode threads)."""
+        with lock:
+            for zf in handles:
+                zf.close()
+            handles.clear()
+
+    load.close = close
     return load
 
 

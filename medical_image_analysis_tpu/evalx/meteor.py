@@ -13,16 +13,21 @@ magnitudes match the published report-generation tables; the METEOR 1.5
 'en'-task tuning (0.85, 0.2, 0.6, 0.75) is selectable via the keyword
 arguments.
 
-Synonym and paraphrase stages activate when tables are provided
-(``MeteorTables``): a WordNet-synsets file (``word<TAB>id1 id2 ...``)
-and a paraphrase file (``phrase1|||phrase2`` per line) — the formats
-the jar's data directory uses. Without tables the scorer runs the
-exact+stem stages only (documented approximation).
+Synonym and paraphrase stages run by default against the bundled tables
+(``data/meteor_synonyms.tsv`` — ``word<TAB>id1 id2 ...`` synset file —
+and ``data/meteor_paraphrases.txt`` — ``phrase1|||phrase2`` lines; the
+formats the jar's data directory uses). The bundled tables are a
+curated radiology-report vocabulary (WordNet is not redistributable
+offline here); drop in full jar-exported files via
+``MeteorTables.from_files`` for exact jar-table parity. Pass
+``tables=None`` to force the exact+stem-only approximation.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os
 
 ALPHA, BETA, GAMMA = 0.9, 3.0, 0.5
 DELTA = 0.5  # neutral content/function weighting; 'en' task uses 0.75
@@ -69,6 +74,19 @@ class MeteorTables:
                         para.setdefault(a, set()).add(b)
                         para.setdefault(b, set()).add(a)
         return cls(synonyms=syn, paraphrases=para)
+
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+_DEFAULT = object()  # sentinel: "use the bundled tables"
+
+
+@functools.lru_cache(maxsize=1)
+def default_tables() -> MeteorTables:
+    """Bundled synonym/paraphrase tables (loaded once)."""
+    return MeteorTables.from_files(
+        os.path.join(_DATA_DIR, "meteor_synonyms.tsv"),
+        os.path.join(_DATA_DIR, "meteor_paraphrases.txt"),
+    )
 
 
 def _stem(w: str) -> str:
@@ -128,18 +146,28 @@ def _align(cand, ref, tables: MeteorTables | None, delta: float = DELTA):
 
         try_stage(syn_key, STAGE_WEIGHTS[2])
 
-    # paraphrase stage: longest-first phrase matches over unmatched spans
+    # Paraphrase stage: longest-first phrase matches. Greedy exact/stem
+    # matching of *function words* inside a phrase must not block it (the
+    # jar's search-based aligner would prefer the phrase): spans whose
+    # already-matched tokens are all function words release those slots.
     if tables is not None and tables.paraphrases is not None:
         para = tables.paraphrases
         max_len = max((len(k) for k in para), default=1)
         for ln in range(min(max_len, 4), 0, -1):
             for i in range(len(cand) - ln + 1):
-                if any(match_of[i + t] >= 0 for t in range(ln)):
+                span = range(i, i + ln)
+                if any(
+                    match_of[t] >= 0 and cand[t] not in _FUNCTION_WORDS
+                    for t in span
+                ):
                     continue
                 phrase = tuple(cand[i : i + ln])
                 alts = para.get(phrase)
                 if not alts:
                     continue
+                freed = [match_of[t] for t in span if match_of[t] >= 0]
+                for j in freed:
+                    used[j] = False
                 for ln2 in range(min(max_len, 4), 0, -1):
                     hit = None
                     for j in range(len(ref) - ln2 + 1):
@@ -154,7 +182,10 @@ def _align(cand, ref, tables: MeteorTables | None, delta: float = DELTA):
                             weight_of[i + t] = STAGE_WEIGHTS[3]
                         for t in range(ln2):
                             used[hit + t] = True
+                        freed = []
                         break
+                for j in freed:  # phrase not found: restore
+                    used[j] = True
 
     matches = sum(1 for m in match_of if m >= 0)
     wm_c = sum(
@@ -196,12 +227,14 @@ def _sentence_score(cand, ref, tables, alpha, beta, gamma, delta):
 def meteor(
     gts: dict[str, list[str]],
     res: dict[str, list[str]],
-    tables: MeteorTables | None = None,
+    tables: MeteorTables | None = _DEFAULT,
     alpha: float = ALPHA,
     beta: float = BETA,
     gamma: float = GAMMA,
     delta: float = DELTA,
 ) -> float:
+    if tables is _DEFAULT:
+        tables = default_tables()
     scores = []
     for sid, cands in res.items():
         cand = cands[0].lower().split()

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from .hopfield import HopfieldLayer
 from .llm import LLMConfig, TransformerLM
 from .mamba import ARM
-from .mrg import GenerateConfig, MRGMixin
+from .mrg import GenerateConfig, MRGMixin, _encode_views
 from .qformer import QFormer
 
 
@@ -59,7 +59,12 @@ class AMMRG(nn.Module, MRGMixin):
 
     def encode_img(self, images, visual_bank, report_bank,
                    deterministic=True):
-        tokens = self.vision(images, deterministic)  # (B, L, D)
+        if images.ndim == 5:  # (B, V, H, W, 3): mean over views
+            tokens = _encode_views(
+                lambda x: self.vision(x, deterministic), images
+            )
+        else:
+            tokens = self.vision(images, deterministic)  # (B, L, D)
         wide = self.qformer_proj(tokens)
         query = self.qformer(wide)  # (B, 14, qdim)
         dmem = self.visual_memory(query, visual_bank)

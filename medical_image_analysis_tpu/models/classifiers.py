@@ -19,6 +19,27 @@ import jax.numpy as jnp
 from .vit import ViT
 
 
+class VSSMClassifier(nn.Module):
+    """VSSM backbone + linear head — the VMamba classification runner
+    (``R2GenCSR/VMamba/classification/main.py``, ``models/vmamba.py:1305``:
+    patch embed -> 4 stages -> norm -> avgpool -> ``nn.Linear`` head).
+    Trained with mixup/EMA via the classify recipe."""
+
+    num_classes: int = 14
+    vssm_kwargs: Any = None
+
+    def setup(self):
+        from .vmamba import VSSM
+
+        self.backbone = VSSM(**(self.vssm_kwargs or {}), name="backbone")
+        self.head = nn.Dense(self.num_classes, name="head")
+
+    def __call__(self, images, deterministic=True):
+        pooled = self.backbone(images, pool=True,
+                               deterministic=deterministic)
+        return self.head(pooled)
+
+
 class DPClassifier(nn.Module):
     """ViT global-pool + per-attribute linear head -> (B, num_attrs)."""
 

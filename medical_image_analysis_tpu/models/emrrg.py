@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from .hybrid_decoder import HybridTransformerLM
 from .llm import LLMConfig
 from .mamba import ARM
-from .mrg import GenerateConfig, MRGMixin
+from .mrg import GenerateConfig, MRGMixin, _encode_views
 
 
 def slow_fast_split(tokens: jax.Array, cls_pos: int):
@@ -62,7 +62,14 @@ class EMRRG(nn.Module, MRGMixin):
         self.fast_proj = nn.Dense(self.llm_cfg.dim, name="fast_proj")
 
     def encode_img(self, images, deterministic=True):
-        tokens = self.vision(images, deterministic)  # (B, L+1, D)
+        # (B, V, H, W, 3) batches mean over views (use_feature_mean);
+        # cls stays at the middle position after the mean.
+        if images.ndim == 5:
+            tokens = _encode_views(
+                lambda x: self.vision(x, deterministic), images
+            )
+        else:
+            tokens = self.vision(images, deterministic)  # (B, L+1, D)
         cls_pos = (tokens.shape[1] - 1) // 2
         slow, fast = slow_fast_split(tokens, cls_pos)
         return (

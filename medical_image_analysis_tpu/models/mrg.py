@@ -73,12 +73,13 @@ def _encode_views(vision_fn, images, use_feature_mean=True):
 
 
 class VisionEncoder(nn.Module):
-    """Encoder dispatch: swin | vssm | arm -> token sequence (B, L, D)."""
+    """Encoder dispatch: swin | vssm | arm | vit -> tokens (B, L, D)."""
 
     chosen: str = "swin"
     swin_kwargs: Any = None
     vssm_kwargs: Any = None
     arm_kwargs: Any = None
+    vit_kwargs: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -96,6 +97,15 @@ class VisionEncoder(nn.Module):
             return ARM(**(self.arm_kwargs or {}), name="arm")(
                 x, deterministic
             )
+        if self.chosen == "vit":
+            # MAE-pretrained ViT patch features (the HD finetune RG/DP
+            # visual extractor, ``RG_english/modules/visual_extractor.py:83``).
+            from .vit import ViT
+
+            toks = ViT(**(self.vit_kwargs or {}), name="vit")(
+                x, deterministic
+            )
+            return toks[:, 1:]  # drop cls: att_feats are patch tokens
         raise ValueError(self.chosen)
 
 

@@ -16,47 +16,6 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
-
-from .common import trunc_normal_init
-
-
-class _MHA(nn.Module):
-    dim: int
-    num_heads: int
-
-    @nn.compact
-    def __call__(self, q_in, kv_in):
-        b, lq, _ = q_in.shape
-        nh, hd = self.num_heads, self.dim // self.num_heads
-        q = nn.Dense(self.dim, name="query")(q_in).reshape(b, lq, nh, hd)
-        k = nn.Dense(self.dim, name="key")(kv_in).reshape(b, -1, nh, hd)
-        v = nn.Dense(self.dim, name="value")(kv_in).reshape(b, -1, nh, hd)
-        attn = jax.nn.softmax(
-            jnp.einsum("bqhd,bkhd->bhqk", q, k) * hd**-0.5, axis=-1
-        )
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, lq, self.dim)
-        return nn.Dense(self.dim, name="out")(out)
-
-
-class QFormerLayer(nn.Module):
-    dim: int
-    num_heads: int
-    intermediate: int
-    has_cross: bool
-
-    @nn.compact
-    def __call__(self, x, encoder_states):
-        y = _MHA(self.dim, self.num_heads, name="self_attn")(x, x)
-        x = nn.LayerNorm(name="ln_self")(x + y)
-        if self.has_cross:
-            y = _MHA(self.dim, self.num_heads, name="cross_attn")(
-                x, encoder_states
-            )
-            x = nn.LayerNorm(name="ln_cross")(x + y)
-        y = nn.Dense(self.intermediate, name="ffn_in")(x)
-        y = nn.Dense(self.dim, name="ffn_out")(nn.gelu(y))
-        return nn.LayerNorm(name="ln_ffn")(x + y)
 
 
 class QFormer(nn.Module):

@@ -13,6 +13,8 @@ sequence (no KV cache) each step.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -247,4 +249,61 @@ class R2Gen(nn.Module):
         return greedy_generate(
             step, cache, first_logits, max_new_tokens=max_new_tokens,
             eos_id=eos_id,
+        )
+
+
+class R2GenPipeline(nn.Module):
+    """Visual extractor + R2Gen — the runnable form of the HD finetune
+    RG task (``RG_english/main.py`` shape: extractor -> att_feats ->
+    EncoderDecoder -> CE over report tokens).
+
+    Batch convention matches :class:`..mrg.MRGMixin` (images
+    (B, V, H, W, 3); target_ids/mask (B, Lt) with EOS, no BOS — the
+    pipeline prepends BOS for the decoder input).
+    """
+
+    vocab_size: int
+    chosen: str = "vit"
+    vision_kwargs: Any = None
+    r2gen_kwargs: Any = None
+    bos_id: int = 1
+    eos_id: int = 2
+
+    def setup(self):
+        from .mrg import VisionEncoder, _encode_views  # noqa: F401
+
+        kw = {f"{self.chosen}_kwargs": self.vision_kwargs or {}}
+        self.vision = VisionEncoder(chosen=self.chosen, **kw, name="vision")
+        self.r2gen = R2Gen(
+            vocab_size=self.vocab_size, **(self.r2gen_kwargs or {}),
+            name="r2gen",
+        )
+
+    def att_feats(self, images, deterministic=True):
+        from .mrg import _encode_views
+
+        return _encode_views(
+            lambda x: self.vision(x, deterministic), images
+        )
+
+    def __call__(self, images, target_ids, target_mask,
+                 deterministic=True):
+        att = self.att_feats(images, deterministic)
+        b = target_ids.shape[0]
+        seq_in = jnp.concatenate(
+            [jnp.full((b, 1), self.bos_id, target_ids.dtype),
+             target_ids[:, :-1]], axis=1,
+        )
+        logits = self.r2gen(att, seq_in)  # (B, Lt, V)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(lp, target_ids[..., None], axis=-1)[..., 0]
+        m = target_mask.astype(jnp.float32)
+        return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+    def generate(self, images, max_new_tokens: int = 60,
+                 num_beams: int = 3):
+        att = self.att_feats(images, True)
+        return self.r2gen.generate(
+            att, max_new_tokens=max_new_tokens, num_beams=num_beams,
+            bos_id=self.bos_id, eos_id=self.eos_id,
         )

@@ -373,6 +373,15 @@ class MAE(nn.Module):
         return self.loss(imgs, pred, mask), pred, mask
 
 
+# Plain ViT encoder presets (timm vit_*_patch16 dims — the DP/RG
+# finetune extractor family, ``HD.../finetune/DP/models/vit.py``).
+VIT_CONFIGS = {
+    "vit_tiny": dict(patch_size=16, embed_dim=192, depth=12, num_heads=3),
+    "vit_base": dict(patch_size=16, embed_dim=768, depth=12, num_heads=12),
+    "vit_large": dict(patch_size=16, embed_dim=1024, depth=24,
+                      num_heads=16),
+}
+
 MAE_CONFIGS = {
     "mae_vit_base_patch16": dict(embed_dim=768, depth=12, num_heads=12),
     "mae_vit_large_patch16": dict(embed_dim=1024, depth=24, num_heads=16),

@@ -215,10 +215,13 @@ class VSSM(nn.Module):
                 )(x, deterministic)
                 idx += 1
             if stage < len(self.depths) - 1:
-                # downsample v3: 3x3 stride-2 conv + LN (vmamba.py downsample).
+                # downsample v3: 3x3 stride-2 conv + LN (vmamba.py
+                # downsample). Explicit (1,1) padding — torch padding=1;
+                # flax "SAME" would pad (0,1) and shift every window
+                # (caught by the reference-golden test).
                 x = nn.Conv(
                     self.dims[stage + 1], kernel_size=(3, 3), strides=(2, 2),
-                    padding="SAME", name=f"downsample{stage}",
+                    padding=((1, 1), (1, 1)), name=f"downsample{stage}",
                 )(x)
                 x = nn.LayerNorm(name=f"downsample_norm{stage}")(x)
 

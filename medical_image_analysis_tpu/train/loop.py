@@ -11,6 +11,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -36,15 +37,19 @@ from ..data.datasets import (
     synthetic_annotations,
     synthetic_image_loader,
 )
+from ..data import side_inputs as side
 from ..data.tokenizer import WordTokenizer
 from ..evalx.chexbert import clinical_efficacy, extract_labels
 from ..evalx.nlg import compute_nlg_scores
+from ..models.am_mrg import AMMRG
 from ..models.emrrg import EMRRG
 from ..models.llm import LLM_CONFIGS
+from ..models.mac_rrg import MACRRG
 from ..models.mamba import ARM_CONFIGS
 from ..models.mrg import GenerateConfig, R2GenCSR, R2GenGPT
+from ..models.r2gen_kg import R2GenKG
 from ..models.swin import SWIN_CONFIGS
-from ..models.vit import MAE
+from ..models.vit import MAE, VIT_CONFIGS
 from ..models.vision_mamba_ar import VisionMambaAR
 from ..models.vmamba import VSSM_CONFIGS
 from ..parallel.mesh import make_mesh, shard_batch
@@ -63,6 +68,11 @@ def _mesh_for(batch_size: int, mesh_data: int = -1, mesh_model: int = 1):
     model = max(1, min(mesh_model, n))
     while n % model != 0:
         model -= 1
+    if model != max(1, mesh_model):
+        print(
+            f"[mesh] requested mesh_model={mesh_model} does not divide "
+            f"{n} devices; using model={model}"
+        )
     avail = n // model
     d = avail if mesh_data in (-1, 0) else min(mesh_data, avail)
     while d > 1 and batch_size % d != 0:
@@ -110,12 +120,14 @@ def vision_preset(family: str, size: str, extra: dict | None = None) -> dict:
         "swin": lambda: dict(SWIN_CONFIGS[f"swin_{size}"]),
         "vssm": lambda: dict(VSSM_CONFIGS[f"vssm_{size}"]),
         "arm": lambda: dict(ARM_CONFIGS[f"arm_{size}_pz16"]),
+        "vit": lambda: dict(VIT_CONFIGS[f"vit_{size}"]),
     }[family]()
     base.update(extra or {})
     return base
 
 
 def build_data(cfg: RunConfig):
+    """Returns (annotations, tokenizer, batcher factory, image loader)."""
     d = cfg.data
     if d.dataset == "synthetic":
         ann = synthetic_annotations()
@@ -124,14 +136,18 @@ def build_data(cfg: RunConfig):
         ann = load_annotations(d.annotation_path, d.dataset)
         loader = disk_image_loader(d.base_dir, d.input_size)
     ann["train"] = drop_unclear_reports(ann["train"])
-    if not d.use_feature_mean and d.dataset == "mimic_cxr":
-        ann["train"] = group_study_two_views(ann["train"])
+    two_view = not d.use_feature_mean and d.dataset == "mimic_cxr"
+    if two_view:
+        # val/test get one deterministic grouping; the train batcher
+        # re-samples the pooled extra view per epoch (regroup_views).
+        for split in ("val", "test"):
+            ann[split] = group_study_two_views(ann[split])
     tok = WordTokenizer.from_corpus(
         (s.report for s in ann["train"]), min_freq=d.vocab_min_freq
     )
     chexbert = load_chexbert_csv(d.chexbert_csv) if d.chexbert_csv else None
 
-    def batcher(split, n_context=0, shuffle=True):
+    def batcher(split, n_context=0, shuffle=True, extra_fn=None):
         return MRGBatcher(
             ann[split], tok, loader, d.batch_size, max_len=d.max_len,
             num_views=d.num_views, prompt_before=d.prompt,
@@ -139,8 +155,10 @@ def build_data(cfg: RunConfig):
             context_mode=d.context_retrieval_mode,
             context_keyword=d.context_keyword, chexbert_labels=chexbert,
             num_workers=d.num_workers,
+            regroup_views=two_view and split == "train",
+            extra_fn=extra_fn,
         )
-    return ann, tok, batcher
+    return ann, tok, batcher, loader
 
 
 def build_mrg_model(cfg: RunConfig, vocab_size: int):
@@ -153,11 +171,22 @@ def build_mrg_model(cfg: RunConfig, vocab_size: int):
         llm_cfg = dataclasses.replace(llm_cfg, remat=True)
         if m.vision == "arm":
             vk.setdefault("remat", True)
+    tkw = m.task_kwargs or {}
     if m.task == "r2gencsr":
-        return R2GenCSR(llm_cfg=llm_cfg, chosen=m.vision, vision_kwargs=vk)
+        return R2GenCSR(llm_cfg=llm_cfg, chosen=m.vision, vision_kwargs=vk,
+                        **tkw)
     if m.task == "emrrg":
-        return EMRRG(llm_cfg=llm_cfg, arm_kwargs=vk)
-    return R2GenGPT(llm_cfg=llm_cfg, chosen=m.vision, vision_kwargs=vk)
+        return EMRRG(llm_cfg=llm_cfg, arm_kwargs=vk, **tkw)
+    if m.task == "am_mrg":
+        return AMMRG(llm_cfg=llm_cfg, arm_kwargs=vk, **tkw)
+    if m.task == "r2gen_kg":
+        return R2GenKG(llm_cfg=llm_cfg, chosen=m.vision, vision_kwargs=vk,
+                       **tkw)
+    if m.task == "mac_rrg":
+        return MACRRG(llm_cfg=llm_cfg, chosen=m.vision, vision_kwargs=vk,
+                      **tkw)
+    return R2GenGPT(llm_cfg=llm_cfg, chosen=m.vision, vision_kwargs=vk,
+                    **tkw)
 
 
 def trainable_mask(params, freeze_llm: bool):
@@ -175,6 +204,19 @@ def trainable_mask(params, freeze_llm: bool):
     return walk(params, False)
 
 
+def _init_params(model, _init_rngs, *args, **kwargs):
+    """jit the flax init: one compiled launch instead of eager op-by-op
+    dispatch (which crawls through the axon host->TPU relay — measured
+    minutes for the heads-heavy models). ``kwargs`` (incl. flax call
+    kwargs like ``rng=``/``mask_type=``) are closed over."""
+
+    @jax.jit
+    def init(r, *a):
+        return model.init(r, *a, **kwargs)
+
+    return init(_init_rngs, *args)
+
+
 def _device_batch(batch: dict, mesh):
     arrays = {
         k: v for k, v in batch.items() if isinstance(v, np.ndarray)
@@ -184,11 +226,109 @@ def _device_batch(batch: dict, mesh):
     return {k: jnp.asarray(v) for k, v in arrays.items()}
 
 
-_MRG_KEYS = ("images", "before_ids", "after_ids", "target_ids", "target_mask")
-_GEN_KEYS = ("images", "before_ids", "after_ids")
-_CSR_TRAIN = ("images", "context_images", "before_ids", "after_ids",
-              "target_ids", "target_mask")
-_CSR_GEN = ("images", "context_images", "before_ids", "after_ids")
+@dataclasses.dataclass
+class TaskAdapter:
+    """Batch -> positional-args mapping for one MRG-family task.
+
+    ``loss_args(batch)`` yields the positional args of the model's
+    ``__call__``; ``gen_args(batch)`` those of ``generate`` (minus the
+    GenerateConfig). Side-input constants (memory banks, graph tensors)
+    are closed over as device arrays; per-sample side inputs flow via
+    ``extra_fn`` on the batcher.
+    """
+
+    loss_args: Any
+    gen_args: Any
+    extra_fn: Any = None
+    n_context: int = 0
+    mac_ctx: Any = None
+
+
+def make_task_adapter(cfg: RunConfig, ann, tok, loader) -> TaskAdapter:
+    """Wires each reference pipeline's side inputs (SURVEY.md T1-T7):
+    memory banks for AM-MRG, graph tensors for R2GenKG, agent embeds for
+    MAC-RRG, context exemplars for R2GenCSR."""
+    task = cfg.model.task
+    si = dict(cfg.model.side_inputs or {})
+    seed = cfg.train.seed
+    reports = [s.report for s in ann["train"]]
+
+    def base(b):
+        return (b["before_ids"], b["after_ids"])
+
+    def tgt(b):
+        return (b["target_ids"], b["target_mask"])
+
+    if task == "r2gencsr":
+        return TaskAdapter(
+            loss_args=lambda b: (b["images"], b["context_images"],
+                                 *base(b), *tgt(b)),
+            gen_args=lambda b: (b["images"], b["context_images"], *base(b)),
+            n_context=cfg.data.n_context,
+        )
+    if task == "am_mrg":
+        embed = side.make_text_embedder(
+            tok, dim=si.get("dim", 64), seed=seed
+        )
+        vb, rb = side.build_am_banks(
+            ann["train"], loader, embed,
+            bank_dim=si.get("bank_dim", si.get("dim", 64)),
+            visual_bank_path=si.get("visual_bank", ""),
+            report_bank_path=si.get("report_bank", ""),
+            swin_kwargs=si.get("swin_kwargs"),
+            seed=seed,
+        )
+        vb, rb = jnp.asarray(vb), jnp.asarray(rb)
+        return TaskAdapter(
+            loss_args=lambda b: (b["images"], vb, rb, *base(b), *tgt(b)),
+            gen_args=lambda b: (b["images"], vb, rb, *base(b)),
+        )
+    if task == "r2gen_kg":
+        n_scales = (cfg.model.task_kwargs or {}).get("num_scales", 5)
+        if si.get("graph"):
+            g = side.load_graph_npz(si["graph"], num_scales=n_scales)
+        else:
+            embed = side.make_text_embedder(
+                tok, dim=si.get("dim", 64), seed=seed
+            )
+            g = side.synthesize_graph_artifacts(
+                reports, embed, num_scales=n_scales,
+                base_nodes=si.get("base_nodes", 8),
+                edges_per_scale=si.get("edges_per_scale", 64),
+                disease_bank_size=si.get("disease_bank_size", 64),
+                seed=seed,
+            )
+        nf = [jnp.asarray(x) for x in g["node_feats"]]
+        ei = [jnp.asarray(x) for x in g["edge_indices"]]
+        et = [jnp.asarray(x) for x in g["edge_types"]]
+        bank = jnp.asarray(g["disease_bank"])
+        return TaskAdapter(
+            loss_args=lambda b: (b["images"], nf, ei, et, bank,
+                                 *base(b), *tgt(b)),
+            gen_args=lambda b: (b["images"], nf, ei, et, bank, *base(b)),
+        )
+    if task == "mac_rrg":
+        embed = side.make_text_embedder(
+            tok, dim=si.get("dim", 64), seed=seed
+        )
+        ctx = side.MACContext(
+            reports, embed,
+            max_chunks=si.get("max_chunks", 8),
+            max_entities=si.get("max_entities", 8),
+        )
+        return TaskAdapter(
+            loss_args=lambda b: (b["images"], b["rag_embeds"],
+                                 b["concept_embeds"], *base(b), *tgt(b)),
+            gen_args=lambda b: (b["images"], b["rag_embeds"],
+                                b["concept_embeds"], *base(b)),
+            extra_fn=ctx.extra_fn,
+            mac_ctx=ctx,
+        )
+    # r2gengpt / emrrg share the plain skeleton
+    return TaskAdapter(
+        loss_args=lambda b: (b["images"], *base(b), *tgt(b)),
+        gen_args=lambda b: (b["images"], *base(b)),
+    )
 
 
 def fit_mrg(cfg: RunConfig) -> dict:
@@ -198,17 +338,19 @@ def fit_mrg(cfg: RunConfig) -> dict:
         enable_debug_nans(True)
     os.makedirs(t.save_dir, exist_ok=True)
     logger = JsonlLogger(t.save_dir)
-    ann, tok, batcher = build_data(cfg)
-    is_csr = cfg.model.task == "r2gencsr"
-    n_ctx = cfg.data.n_context if is_csr else 0
-    train_b = batcher("train", n_context=n_ctx)
+    ann, tok, batcher, loader = build_data(cfg)
+    ad = make_task_adapter(cfg, ann, tok, loader)
+    train_b = batcher("train", n_context=ad.n_context,
+                      extra_fn=ad.extra_fn)
     model = build_mrg_model(cfg, tok.vocab_size)
     gcfg = dataclasses.replace(cfg.generate, eos_id=tok.EOS)
 
     first = next(train_b.batches(shuffle=False))
-    keys = _CSR_TRAIN if is_csr else _MRG_KEYS
-    init_args = [jnp.asarray(first[k]) for k in keys]
-    params = model.init(jax.random.PRNGKey(t.seed), *init_args)
+    print(f"[fit_mrg] data+side-inputs ready; initializing params", flush=True)
+    params = _init_params(
+        model, jax.random.PRNGKey(t.seed), *ad.loss_args(first)
+    )
+    print("[fit_mrg] params initialized; building train step", flush=True)
 
     # LoRA on the LLM q/v projections (the reference's HF-peft default,
     # R2GenCSR.py:160-175) — trained alongside the unfrozen towers.
@@ -253,21 +395,19 @@ def fit_mrg(cfg: RunConfig) -> dict:
         sched, weight_decay=t.weight_decay, grad_clip=t.grad_clip,
         params_for_mask=train_params, trainable_mask=mask,
     )
-    state = TrainState.create(train_params, tx)
+    state = TrainState.create(train_params, tx, ema=t.ema_decay > 0)
     state, start_epoch = _maybe_resume(state, t)
 
     def loss_fn(p, batch, rng):
-        return model.apply(merged(p), *[batch[k] for k in keys])
+        return model.apply(merged(p), *ad.loss_args(batch))
 
     state, step = _finalize_step(loss_fn, tx, state, mesh, t, specs)
-    gen_keys = _CSR_GEN if is_csr else _GEN_KEYS
     gen_method = type(model).generate
 
     @jax.jit
     def gen_fn(p, batch):
         return model.apply(
-            merged(p), *[batch[k] for k in gen_keys], gcfg,
-            method=gen_method,
+            merged(p), *ad.gen_args(batch), gcfg, method=gen_method,
         )
 
     rng = jax.random.PRNGKey(t.seed + 1)
@@ -284,15 +424,20 @@ def fit_mrg(cfg: RunConfig) -> dict:
         logger.write({"epoch": epoch, "loss": ml.meters["loss"].global_avg})
         if (epoch + 1) % t.save_state_every_epochs == 0:
             save_train_state(t.save_dir, state, epoch, keep=t.keep_states)
-        if t.max_epochs_this_run and (
-            epoch - start_epoch + 1 >= t.max_epochs_this_run
-        ):
-            break
 
         if (epoch + 1) % t.val_every_epochs == 0:
+            # EMA shadow weights are the eval weights when enabled (the
+            # timm ModelEma convention the VMamba runner follows).
+            eval_params = (
+                state.ema_params
+                if state.ema_params is not None and t.ema_decay > 0
+                else state.params
+            )
             scores = evaluate_mrg(
-                model, state.params, batcher("val", n_context=n_ctx), tok,
-                gen_fn, mesh,
+                model, eval_params,
+                batcher("val", n_context=ad.n_context,
+                        extra_fn=ad.extra_fn),
+                tok, gen_fn, mesh,
             )
             logger.write({"epoch": epoch, **scores})
             results = scores
@@ -304,6 +449,12 @@ def fit_mrg(cfg: RunConfig) -> dict:
                 config={"task": cfg.model.task}, epoch=epoch,
                 step=int(state.step),
             )
+        # After validation so a preemption-capped run chunk still scores
+        # + delta-saves its final epoch (ADVICE round 2).
+        if t.max_epochs_this_run and (
+            epoch - start_epoch + 1 >= t.max_epochs_this_run
+        ):
+            break
     return results
 
 
@@ -333,7 +484,7 @@ def evaluate_mrg(model, params, batcher, tok, gen_fn, mesh=None,
 def fit_mae(cfg: RunConfig) -> dict:
     """MAE pretrain recipe (HD 3.3-analog; random or region masking)."""
     t, m = cfg.train, cfg.model
-    ann, tok, batcher = build_data(cfg)
+    ann, tok, batcher, loader = build_data(cfg)
     model = MAE(
         patch_size=16, in_chans=3,
         **{k: v for k, v in (m.vision_kwargs or {}).items()},
@@ -342,16 +493,16 @@ def fit_mae(cfg: RunConfig) -> dict:
     first = next(train_b.batches(shuffle=False))
     imgs0 = jnp.asarray(first["images"][:, 0])
     rng = jax.random.PRNGKey(t.seed)
-    params = model.init({"params": rng}, imgs0, rng=rng,
-                        mask_type=m.mask_type, mask_ratio=m.mask_ratio,
-                        mask_ratio_inner=m.mask_ratio_inner)
+    params = _init_params(model, {"params": rng}, imgs0, rng=rng,
+                          mask_type=m.mask_type, mask_ratio=m.mask_ratio,
+                          mask_ratio_inner=m.mask_ratio_inner)
     mesh = _mesh_for(cfg.data.batch_size, t.mesh_data)
     steps = max(len(ann["train"]) // cfg.data.batch_size, 1) * t.epochs
     lr = t.lr if t.blr <= 0 else scaled_lr(t.blr, cfg.data.batch_size)
     tx = make_adamw(warmup_cosine(lr, t.warmup_steps, steps),
                     weight_decay=t.weight_decay, grad_clip=t.grad_clip,
                     params_for_mask=params)
-    state = TrainState.create(params, tx)
+    state = TrainState.create(params, tx, ema=t.ema_decay > 0)
     state, start_epoch = _maybe_resume(state, t)
 
     def loss_fn(params, batch, rng):
@@ -383,19 +534,19 @@ def fit_mae(cfg: RunConfig) -> dict:
 def fit_ar(cfg: RunConfig) -> dict:
     """Mamba AR pretrain recipe (call stack 3.3)."""
     t, m = cfg.train, cfg.model
-    ann, tok, batcher = build_data(cfg)
+    ann, tok, batcher, loader = build_data(cfg)
     model = VisionMambaAR(**(m.vision_kwargs or {}))
     train_b = batcher("train")
     first = next(train_b.batches(shuffle=False))
     imgs0 = jnp.asarray(first["images"][:, 0])
-    params = model.init(jax.random.PRNGKey(t.seed), imgs0)
+    params = _init_params(model, jax.random.PRNGKey(t.seed), imgs0)
     mesh = _mesh_for(cfg.data.batch_size, t.mesh_data)
     steps = max(len(ann["train"]) // cfg.data.batch_size, 1) * t.epochs
     lr = t.lr if t.blr <= 0 else scaled_lr(t.blr, cfg.data.batch_size)
     tx = make_adamw(warmup_cosine(lr, t.warmup_steps, steps),
                     weight_decay=t.weight_decay, grad_clip=t.grad_clip,
                     params_for_mask=params)
-    state = TrainState.create(params, tx)
+    state = TrainState.create(params, tx, ema=t.ema_decay > 0)
     state, start_epoch = _maybe_resume(state, t)
 
     def loss_fn(params, batch, rng):
@@ -425,7 +576,7 @@ def fit_clip(cfg: RunConfig) -> dict:
     from ..models.mambaxray_vl import MambaXrayVLCLIP
 
     t, m = cfg.train, cfg.model
-    ann, tok, batcher = build_data(cfg)
+    ann, tok, batcher, loader = build_data(cfg)
     model = MambaXrayVLCLIP(
         arm_kwargs=vision_preset("arm", m.vision_size, m.vision_kwargs),
         text_kwargs=dict(vocab_size=tok.vocab_size, depth=2,
@@ -433,8 +584,8 @@ def fit_clip(cfg: RunConfig) -> dict:
     )
     train_b = batcher("train")
     first = next(train_b.batches(shuffle=False))
-    params = model.init(
-        jax.random.PRNGKey(t.seed),
+    params = _init_params(
+        model, jax.random.PRNGKey(t.seed),
         jnp.asarray(first["images"][:, 0]),
         jnp.asarray(first["target_ids"]),
         jnp.asarray(first["target_mask"]),
@@ -444,7 +595,7 @@ def fit_clip(cfg: RunConfig) -> dict:
     tx = make_adamw(warmup_cosine(t.lr, t.warmup_steps, steps),
                     weight_decay=t.weight_decay, grad_clip=t.grad_clip,
                     params_for_mask=params)
-    state = TrainState.create(params, tx)
+    state = TrainState.create(params, tx, ema=t.ema_decay > 0)
     state, start_epoch = _maybe_resume(state, t)
 
     def loss_fn(params, batch, rng):
@@ -473,21 +624,56 @@ def fit_clip(cfg: RunConfig) -> dict:
 
 
 def fit_classify(cfg: RunConfig) -> dict:
-    """SwinCheX-style 14-label classification (call stack 3.5); labels
-    extracted from reports with the CheXpert rule labeler."""
-    from ..models.classifiers import swinchex_loss
+    """Classification recipes, labels extracted from reports with the
+    CheXpert rule labeler:
+
+    - ``swinchex`` + ``vision=swin``: SwinCheX 14x2-head CE (call stack
+      3.5, ``SwinCheX/main.py:175-268``);
+    - ``swinchex`` + ``vision=vssm``: VMamba classification runner
+      analog (``VMamba/classification/main.py``) — VSSM backbone +
+      linear head, multi-hot BCE, mixup/EMA;
+    - ``dp``: HD disease-prediction ViT with weighted sigmoid BCE +
+      pedestrian-style metrics (``finetune/DP/train.py:23-200``).
+    """
+    from ..evalx.classification import (
+        multilabel_auc,
+        pedestrian_metrics,
+        per_label_accuracy,
+    )
+    from ..models.classifiers import (
+        DPClassifier,
+        VSSMClassifier,
+        swinchex_loss,
+        weighted_bce_loss,
+    )
     from ..models.swin import SwinCheX, SwinTransformer
 
     t, m = cfg.train, cfg.model
-    ann, tok, batcher = build_data(cfg)
-    backbone = SwinTransformer(
-        **vision_preset("swin", m.vision_size, m.vision_kwargs)
-    )
-    model = SwinCheX(backbone=backbone, num_classes=14)
+    ann, tok, batcher, loader = build_data(cfg)
+    if m.task == "dp":
+        model = DPClassifier(
+            num_attrs=14,
+            vit_kwargs=vision_preset("vit", m.vision_size, m.vision_kwargs),
+        )
+        loss_head, head_kind = weighted_bce_loss, "sigmoid"
+    elif m.vision == "vssm":
+        model = VSSMClassifier(
+            num_classes=14,
+            vssm_kwargs=vision_preset("vssm", m.vision_size,
+                                      m.vision_kwargs),
+        )
+        loss_head, head_kind = weighted_bce_loss, "sigmoid"
+    else:
+        backbone = SwinTransformer(
+            **vision_preset("swin", m.vision_size, m.vision_kwargs)
+        )
+        model = SwinCheX(backbone=backbone, num_classes=14)
+        loss_head, head_kind = swinchex_loss, "twoway"
     train_b = batcher("train")
     first = next(train_b.batches(shuffle=False))
-    params = model.init(
-        jax.random.PRNGKey(t.seed), jnp.asarray(first["images"][:, 0])
+    params = _init_params(
+        model, jax.random.PRNGKey(t.seed),
+        jnp.asarray(first["images"][:, 0]),
     )
     mesh = _mesh_for(cfg.data.batch_size, t.mesh_data)
     steps = max(len(ann["train"]) // cfg.data.batch_size, 1) * t.epochs
@@ -499,11 +685,17 @@ def fit_classify(cfg: RunConfig) -> dict:
 
     def loss_fn(params, batch, rng):
         logits = model.apply(params, batch["images"][:, 0])
-        return swinchex_loss(logits, batch["labels"])
+        return loss_head(logits, batch["labels"])
 
     state, step = _finalize_step(loss_fn, tx, state, mesh, t)
+
+    @jax.jit
+    def logits_fn(params, images):
+        return model.apply(params, images)
+
     ml = MetricLogger()
     rng = jax.random.PRNGKey(0)
+    results: dict = {}
     for epoch in range(start_epoch, t.epochs):
         for i, batch in enumerate(ml.log_every(
             prefetch(train_b.batches(epoch=epoch)), t.log_every,
@@ -526,21 +718,230 @@ def fit_classify(cfg: RunConfig) -> dict:
             ml.update(loss=float(metrics["loss"]))
         if (epoch + 1) % t.save_state_every_epochs == 0:
             save_train_state(t.save_dir, state, epoch, keep=t.keep_states)
+
+        if (epoch + 1) % t.val_every_epochs == 0:
+            eval_params = (
+                state.ema_params
+                if state.ema_params is not None and t.ema_decay > 0
+                else state.params
+            )
+            all_logits, all_labels = [], []
+            for batch in batcher("val").batches(shuffle=False,
+                                                drop_last=False):
+                all_logits.append(np.asarray(
+                    logits_fn(eval_params, jnp.asarray(batch["images"][:, 0]))
+                ))
+                all_labels.append(np.stack(
+                    [extract_labels(r) for r in batch["reports"]]
+                ))
+            logits = np.concatenate(all_logits)
+            labels = np.concatenate(all_labels)
+            if head_kind == "twoway":
+                # (N, C, 2) softmax heads: positive-class probability.
+                e = np.exp(logits - logits.max(-1, keepdims=True))
+                scores = (e / e.sum(-1, keepdims=True))[..., 1]
+                results = {
+                    **per_label_accuracy(logits, labels),
+                    "auc_mean": multilabel_auc(scores, labels)["auc_mean"],
+                }
+            else:
+                scores = 1.0 / (1.0 + np.exp(-logits))
+                results = {
+                    "auc_mean": multilabel_auc(scores, labels)["auc_mean"],
+                    **pedestrian_metrics(scores, labels),
+                }
         if t.max_epochs_this_run and (
             epoch - start_epoch + 1 >= t.max_epochs_this_run
         ):
             break
-    return {"loss": ml.meters["loss"].global_avg}
+    return {"loss": ml.meters["loss"].global_avg, **results}
+
+
+def fit_r2gen(cfg: RunConfig) -> dict:
+    """R2Gen classic (T8): visual extractor + RelationalMemory
+    transformer decoder trained with report CE, beam eval with NLG+CE
+    scores (``RG_english/main.py`` shape)."""
+    from ..models.r2gen import R2GenPipeline
+
+    t, m = cfg.train, cfg.model
+    os.makedirs(t.save_dir, exist_ok=True)
+    logger = JsonlLogger(t.save_dir)
+    ann, tok, batcher, loader = build_data(cfg)
+    model = R2GenPipeline(
+        vocab_size=tok.vocab_size,
+        chosen=m.vision,
+        vision_kwargs=vision_preset(m.vision, m.vision_size,
+                                    m.vision_kwargs),
+        bos_id=tok.BOS, eos_id=tok.EOS,
+        **(m.task_kwargs or {}),
+    )
+    train_b = batcher("train")
+    first = next(train_b.batches(shuffle=False))
+    params = _init_params(
+        model, jax.random.PRNGKey(t.seed), jnp.asarray(first["images"]),
+        jnp.asarray(first["target_ids"]), jnp.asarray(first["target_mask"]),
+    )
+    mesh = _mesh_for(cfg.data.batch_size, t.mesh_data)
+    steps = max(len(ann["train"]) // cfg.data.batch_size, 1) * t.epochs
+    tx = make_adamw(warmup_cosine(t.lr, t.warmup_steps, steps),
+                    weight_decay=t.weight_decay, grad_clip=t.grad_clip,
+                    params_for_mask=params)
+    state = TrainState.create(params, tx, ema=t.ema_decay > 0)
+    state, start_epoch = _maybe_resume(state, t)
+
+    def loss_fn(params, batch, rng):
+        return model.apply(
+            params, batch["images"], batch["target_ids"],
+            batch["target_mask"],
+        )
+
+    state, step = _finalize_step(loss_fn, tx, state, mesh, t)
+    g = cfg.generate
+
+    @jax.jit
+    def gen_fn(params, batch):
+        return model.apply(
+            params, batch["images"],
+            method=R2GenPipeline.generate,
+            max_new_tokens=g.max_new_tokens, num_beams=g.num_beams,
+        )
+
+    ml = MetricLogger()
+    rng = jax.random.PRNGKey(t.seed + 1)
+    results: dict = {}
+    for epoch in range(start_epoch, t.epochs):
+        for i, batch in enumerate(ml.log_every(
+            prefetch(train_b.batches(epoch=epoch)), t.log_every,
+            f"r2gen epoch {epoch}"
+        )):
+            sub = jax.random.fold_in(rng, (epoch << 20) + i)
+            state, metrics = step(state, _device_batch(batch, mesh), sub)
+            ml.update(loss=float(metrics["loss"]))
+        logger.write({"epoch": epoch, "loss": ml.meters["loss"].global_avg})
+        if (epoch + 1) % t.save_state_every_epochs == 0:
+            save_train_state(t.save_dir, state, epoch, keep=t.keep_states)
+        if (epoch + 1) % t.val_every_epochs == 0:
+            eval_params = (
+                state.ema_params
+                if state.ema_params is not None and t.ema_decay > 0
+                else state.params
+            )
+            scores = evaluate_mrg(
+                model, eval_params, batcher("val"), tok, gen_fn, mesh
+            )
+            logger.write({"epoch": epoch, **scores})
+            results = scores
+            save_delta(
+                os.path.join(
+                    t.save_dir, delta_filename(epoch, int(state.step), scores)
+                ),
+                state.params,
+                jax.tree_util.tree_map(lambda _: True, state.params),
+                config={"task": "r2gen"}, epoch=epoch, step=int(state.step),
+            )
+        if t.max_epochs_this_run and (
+            epoch - start_epoch + 1 >= t.max_epochs_this_run
+        ):
+            break
+    return results
+
+
+def fit_lm_sft(cfg: RunConfig) -> dict:
+    """EMRRG text-only PEFT finetune (T11): MambaLM over alpaca-style
+    prompts built from the reports (``EMRRG/finetune.py:30-677``).
+    ``model.lm_kwargs`` configures the LM (incl. ``peft_cfg``); LoRA /
+    weight-space MambaPEFT applies via optimizer masks + param
+    transforms as in :mod:`..peft.mamba_peft`."""
+    from ..models.mamba_lm import MambaLM, alpaca_prompt, lm_loss
+
+    t, m, d = cfg.train, cfg.model, cfg.data
+    os.makedirs(t.save_dir, exist_ok=True)
+    logger = JsonlLogger(t.save_dir)
+    ann, tok, batcher, loader = build_data(cfg)
+    instruction = (
+        "generate a comprehensive diagnosis report for this study"
+    )
+
+    def lm_extra(sample):
+        ids = tok.encode(
+            alpaca_prompt(instruction, "", sample.report),
+            max_len=d.max_len - 1, add_eos=True,
+        )
+        ids, mask = tok.pad(ids, d.max_len)
+        return {"lm_ids": np.asarray(ids, np.int32),
+                "lm_mask": np.asarray(mask, np.int32)}
+
+    model = MambaLM(vocab_size=tok.vocab_size, **(m.lm_kwargs or {}))
+    train_b = batcher("train", extra_fn=lm_extra)
+    first = next(train_b.batches(shuffle=False))
+    params = _init_params(
+        model, jax.random.PRNGKey(t.seed), jnp.asarray(first["lm_ids"])
+    )
+    mesh = _mesh_for(cfg.data.batch_size, t.mesh_data)
+    steps = max(len(ann["train"]) // cfg.data.batch_size, 1) * t.epochs
+    tx = make_adamw(warmup_cosine(t.lr, t.warmup_steps, steps),
+                    weight_decay=t.weight_decay, grad_clip=t.grad_clip,
+                    params_for_mask=params)
+    state = TrainState.create(params, tx, ema=t.ema_decay > 0)
+    state, start_epoch = _maybe_resume(state, t)
+
+    def loss_fn(params, batch, rng):
+        logits = model.apply(params, batch["lm_ids"])
+        return lm_loss(logits, batch["lm_ids"], batch["lm_mask"])
+
+    state, step = _finalize_step(loss_fn, tx, state, mesh, t)
+
+    @jax.jit
+    def eval_loss_fn(params, batch):
+        logits = model.apply(params, batch["lm_ids"])
+        return lm_loss(logits, batch["lm_ids"], batch["lm_mask"])
+
+    ml = MetricLogger()
+    rng = jax.random.PRNGKey(t.seed + 1)
+    results: dict = {}
+    for epoch in range(start_epoch, t.epochs):
+        for i, batch in enumerate(ml.log_every(
+            prefetch(train_b.batches(epoch=epoch)), t.log_every,
+            f"lm epoch {epoch}"
+        )):
+            sub = jax.random.fold_in(rng, (epoch << 20) + i)
+            state, metrics = step(state, _device_batch(batch, mesh), sub)
+            ml.update(loss=float(metrics["loss"]))
+        logger.write({"epoch": epoch, "loss": ml.meters["loss"].global_avg})
+        if (epoch + 1) % t.save_state_every_epochs == 0:
+            save_train_state(t.save_dir, state, epoch, keep=t.keep_states)
+        if (epoch + 1) % t.val_every_epochs == 0:
+            losses = [
+                float(eval_loss_fn(state.params, _device_batch(b, None)))
+                for b in batcher("val", extra_fn=lm_extra).batches(
+                    shuffle=False, drop_last=False
+                )
+            ]
+            val_loss = float(np.mean(losses)) if losses else float("nan")
+            results = {"val_loss": val_loss,
+                       "val_ppl": float(np.exp(min(val_loss, 20.0)))}
+            logger.write({"epoch": epoch, **results})
+        if t.max_epochs_this_run and (
+            epoch - start_epoch + 1 >= t.max_epochs_this_run
+        ):
+            break
+    return results
 
 
 RECIPES = {
     "r2gengpt": fit_mrg,
     "r2gencsr": fit_mrg,
     "emrrg": fit_mrg,
+    "am_mrg": fit_mrg,
+    "r2gen_kg": fit_mrg,
+    "mac_rrg": fit_mrg,
+    "r2gen": fit_r2gen,
     "mae": fit_mae,
     "ar": fit_ar,
     "clip": fit_clip,
     "swinchex": fit_classify,
+    "dp": fit_classify,
+    "mamba_lm_sft": fit_lm_sft,
 }
 
 
