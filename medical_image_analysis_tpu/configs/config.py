@@ -81,6 +81,10 @@ class TrainConfig:
     seed: int = 42
     log_every: int = 10
     val_every_epochs: int = 1
+    # Cap validation batches per eval (0 = full split). Delta-checkpoint
+    # filenames embed scores from THIS set — use 0 for comparisons
+    # against published tables.
+    val_max_batches: int = 50
     save_dir: str = "save"
     resume: str = ""  # "" | "auto" | path to a state_epoch*.msgpack
     max_epochs_this_run: int = 0  # 0 = no cap; >0 stops after N epochs

@@ -233,18 +233,17 @@ def _pad_to(x, mult, axis):
 
 
 def _pick_chunk(seq_len: int) -> int:
-    """chunk=128 when row padding stays under ~35%, else 32.
+    """chunk=64 for long sequences, 32 otherwise.
 
-    Sweep-tuned on v5e (tools/sweep_scan.py + VSSM/ARM stage shapes):
-    long sequences want chunk=128 (fewer grid steps, better write
-    amortization — VSSM stage 1 L=3136: 32 ms @ c32 -> 23 ms @ c128 per
-    layer forward; stage 2 L=784 wins both directions). Short/mid
-    sequences keep 32: the backward kernel (recompute + adjoint chain,
-    ~6 live (chunk, N, bd) stacks) degrades at bigger chunks faster
-    than the forward gains — ARM-B (L=197) model fwd+bwd is 216 ms
-    @ c32 vs 228 ms @ c128, and training throughput is the headline.
+    Sweep-tuned on v5e (tools/sweep_scan.py, round 3): at the VSSM
+    stage shapes chunk=64 beats the round-2 choice of 128 on BOTH
+    directions — stage-1 (L=3136, D=192) fwd 17.3 ms vs 19.6, bwd
+    56.3 ms vs 60.9; stage-2/3 fwd win 3-7%, bwd ties. Short/mid
+    sequences keep 32: the backward's ~6 live (chunk, N, bd) VMEM
+    stacks degrade faster than the forward gains — ARM-B (L=257)
+    fwd is 3.26 ms @ c32 vs 3.55 @ c64, and model fwd+bwd follows.
     """
-    return 128 if seq_len >= 512 else 32
+    return 64 if seq_len >= 512 else 32
 
 
 def _pick_block_d(d_total: int) -> int:

@@ -438,6 +438,7 @@ def fit_mrg(cfg: RunConfig) -> dict:
                 batcher("val", n_context=ad.n_context,
                         extra_fn=ad.extra_fn),
                 tok, gen_fn, mesh,
+                max_batches=t.val_max_batches or 10**9,
             )
             logger.write({"epoch": epoch, **scores})
             results = scores
@@ -827,7 +828,8 @@ def fit_r2gen(cfg: RunConfig) -> dict:
                 else state.params
             )
             scores = evaluate_mrg(
-                model, eval_params, batcher("val"), tok, gen_fn, mesh
+                model, eval_params, batcher("val"), tok, gen_fn, mesh,
+                max_batches=t.val_max_batches or 10**9,
             )
             logger.write({"epoch": epoch, **scores})
             results = scores

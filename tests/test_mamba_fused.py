@@ -187,14 +187,14 @@ def test_ss2d_fused_matches_ref_backend():
 
 
 def test_pick_chunk_rule():
-    """Sweep-tuned tiling rule: chunk=128 only for long sequences."""
+    """Sweep-tuned tiling rule: chunk=64 only for long sequences."""
     from medical_image_analysis_tpu.ops.selective_scan_pallas import (
         _pick_chunk,
     )
 
-    assert _pick_chunk(3136) == 128  # VSSM stage 1
-    assert _pick_chunk(784) == 128   # VSSM stage 2
-    assert _pick_chunk(512) == 128
+    assert _pick_chunk(3136) == 64   # VSSM stage 1
+    assert _pick_chunk(784) == 64    # VSSM stage 2
+    assert _pick_chunk(512) == 64
     assert _pick_chunk(511) == 32
     assert _pick_chunk(197) == 32    # ARM-B tokens
     assert _pick_chunk(49) == 32     # VSSM stage 4
