@@ -7,13 +7,18 @@ attention score tensors, and head transposes each round-trip HBM. These
 kernels keep a batch-block of activations resident in VMEM through the
 whole sub-layer; weights are broadcast blocks.
 
-Forward is a Pallas kernel; backward falls back to the unfused XLA path
-via custom_vjp (recompute) so the ops stay fully differentiable.
+Forward and backward are both Pallas kernels: the backward recomputes
+the sub-layer forward inside VMEM (flash-attention-style — no stored
+attention probabilities or hidden activations) and emits dx per batch
+block plus weight gradients accumulated in fp32 across the sequential
+TPU grid. Set MIA_VIT_BWD=xla to fall back to the round-2 behavior
+(jax.vjp over the unfused XLA path) for A/B comparison.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -116,6 +121,179 @@ def _mlp_unfused(x, w1, b1, w2, b2, g, b):
     return x + (hidden.astype(x.dtype) @ w2 + b2).astype(x.dtype)
 
 
+def _gelu_tanh_grad(x):
+    """d/dx of tanh-approx GELU (fp32)."""
+    c = 0.7978845608028654  # sqrt(2/pi)
+    u = c * (x + 0.044715 * x * x * x)
+    t = jnp.tanh(u)
+    return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * c * (
+        1.0 + 3 * 0.044715 * x * x
+    )
+
+
+def _ln_fwd32(x2, g_ref, b_ref):
+    """LN recompute in fp32 on (rows, D): returns (xhat, inv_sigma, h32)."""
+    x32 = x2.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    xhat = (x32 - mu) * inv
+    g32 = g_ref[0].astype(jnp.float32)
+    h32 = xhat * g32[None] + b_ref[0].astype(jnp.float32)[None]
+    return xhat, inv, g32, h32
+
+
+def _ln_bwd32(dh, xhat, inv, g32):
+    """Gradient through LN given dL/dh32; returns (dx32, dg, db)."""
+    dg = jnp.sum(dh * xhat, axis=0)
+    db = jnp.sum(dh, axis=0)
+    dxh = dh * g32[None]
+    dx32 = (
+        dxh
+        - dxh.mean(-1, keepdims=True)
+        - xhat * (dxh * xhat).mean(-1, keepdims=True)
+    ) * inv
+    return dx32, dg, db
+
+
+def _acc(ref, val):
+    """Accumulate a weight-grad contribution across sequential grid steps."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        ref[:] = val.astype(ref.dtype)
+
+    @pl.when(i > 0)
+    def _add():
+        ref[:] = ref[:] + val.astype(ref.dtype)
+
+
+def _mlp_block_bwd_kernel(
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref, dy_ref,
+    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbl_ref,
+):
+    x = x_ref[:]
+    gb, l, d = x.shape
+    xhat, inv, g32, h32 = _ln_fwd32(x.reshape(gb * l, d), g_ref, b_ref)
+    h = h32.astype(x.dtype)
+    hpre = jax.lax.dot_general(
+        h, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0][None].astype(jnp.float32)
+    hid = jax.nn.gelu(hpre, approximate=True).astype(x.dtype)
+    dy = dy_ref[:].reshape(gb * l, d)
+    _acc(dw2_ref, jax.lax.dot_general(
+        hid, dy, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ))
+    _acc(db2_ref, jnp.sum(dy.astype(jnp.float32), axis=0)[None])
+    dhid = jax.lax.dot_general(
+        dy, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dhpre = (dhid * _gelu_tanh_grad(hpre)).astype(x.dtype)
+    _acc(dw1_ref, jax.lax.dot_general(
+        h, dhpre, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ))
+    _acc(db1_ref, jnp.sum(dhpre.astype(jnp.float32), axis=0)[None])
+    dh = jax.lax.dot_general(
+        dhpre, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx32, dg, dbl = _ln_bwd32(dh, xhat, inv, g32)
+    _acc(dg_ref, dg[None])
+    _acc(dbl_ref, dbl[None])
+    dx_ref[:] = dy_ref[:] + dx32.astype(x.dtype).reshape(gb, l, d)
+
+
+def _attn_block_bwd_kernel(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, g_ref, b_ref, dy_ref,
+    dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dg_ref, dbl_ref,
+    *, heads,
+):
+    x = x_ref[:]
+    gb, l, d = x.shape
+    hd = d // heads
+    scale = hd ** -0.5
+    xhat, inv, g32, h32 = _ln_fwd32(x.reshape(gb * l, d), g_ref, b_ref)
+    h2 = h32.astype(x.dtype)
+
+    def proj(col0):
+        out = jax.lax.dot_general(
+            h2, wqkv_ref[:, col0 : col0 + d], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bqkv_ref[0, col0 : col0 + d][None]
+        return out.astype(x.dtype).reshape(gb, l, d)
+
+    qm, km, vm = proj(0), proj(d), proj(2 * d)
+    dy = dy_ref[:].reshape(gb * l, d)
+    do3 = jax.lax.dot_general(
+        dy, wo_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype).reshape(gb, l, d)
+    _acc(dbo_ref, jnp.sum(dy.astype(jnp.float32), axis=0)[None])
+    outs, dqs, dks, dvs = [], [], [], []
+    for i in range(heads):
+        sl = slice(i * hd, (i + 1) * hd)
+        q, k, v = qm[:, :, sl], km[:, :, sl], vm[:, :, sl]
+        s = jax.lax.dot_general(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pc = p.astype(x.dtype)
+        do_h = do3[:, :, sl]
+        outs.append(jax.lax.dot_general(
+            pc, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype))
+        dvs.append(jax.lax.dot_general(
+            pc, do_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype))
+        dp = jax.lax.dot_general(
+            do_h, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+              * scale).astype(x.dtype)
+        dqs.append(jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype))
+        dks.append(jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype))
+    o = jnp.concatenate(outs, axis=-1).reshape(gb * l, d)
+    _acc(dwo_ref, jax.lax.dot_general(
+        o, dy, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ))
+    dqkv = jnp.concatenate(
+        [jnp.concatenate(dqs, axis=-1), jnp.concatenate(dks, axis=-1),
+         jnp.concatenate(dvs, axis=-1)], axis=-1,
+    ).reshape(gb * l, 3 * d)
+    _acc(dbqkv_ref, jnp.sum(dqkv.astype(jnp.float32), axis=0)[None])
+    _acc(dwqkv_ref, jax.lax.dot_general(
+        h2, dqkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ))
+    dh = jax.lax.dot_general(
+        dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx32, dg, dbl = _ln_bwd32(dh, xhat, inv, g32)
+    _acc(dg_ref, dg[None])
+    _acc(dbl_ref, dbl[None])
+    dx_ref[:] = dy_ref[:] + dx32.astype(x.dtype).reshape(gb, l, d)
+
+
 def _attn_stack_bytes(gb, l, d, hidden_unused=None):
     # calibrated against measured Mosaic stack sizes (16.0M at gb=4,
     # l=145, d=768; 17.1M at gb=2, l=401, d=512).
@@ -158,6 +336,63 @@ def _block_call(kernel, x, weights, extra_kwargs, g_batch, interpret,
     )(x, *ws)
 
 
+def _attn_bwd_stack_bytes(gb, l, d):
+    # bwd holds q/k/v + dq/dk/dv lists + fp32 p/dp/ds per head; the
+    # per-head score tensors dominate at long L.
+    return 4 * gb * l * (20 * d + 14 * l)
+
+
+def _mlp_bwd_stack_bytes(gb, l, d, hidden):
+    return int(4 * gb * l * (4 * d + 4.5 * hidden))
+
+
+def _bwd_call(kernel, x, weights, dy, wgrad_shapes, extra_kwargs, g_batch,
+              interpret, stack_bytes=None):
+    """Run a fused backward kernel: dx is batch-blocked, weight grads are
+    fp32 full blocks accumulated across the (sequential) grid."""
+    b, l, d = x.shape
+    gb = g_batch
+    if x.dtype.itemsize >= 4:
+        gb = max(gb // 2, 1)
+    if stack_bytes is not None:
+        while gb > 1 and stack_bytes(gb) > _VMEM_BUDGET:
+            gb //= 2
+    while gb > 1 and b % gb != 0:
+        gb //= 2
+    blocked = pl.BlockSpec((gb, l, d), lambda i: (i, 0, 0))
+    in_specs = [blocked]
+    ws = [w[None] if w.ndim == 1 else w for w in weights]
+    for w in ws:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i, n=w.ndim: (0,) * n))
+    in_specs.append(blocked)
+    out_shapes = [jax.ShapeDtypeStruct((b, l, d), x.dtype)]
+    out_specs = [blocked]
+    for shp in wgrad_shapes:
+        shp2 = (1, *shp) if len(shp) == 1 else shp
+        out_shapes.append(jax.ShapeDtypeStruct(shp2, jnp.float32))
+        out_specs.append(
+            pl.BlockSpec(shp2, lambda i, n=len(shp2): (0,) * n)
+        )
+    outs = pl.pallas_call(
+        functools.partial(kernel, **extra_kwargs),
+        grid=(b // gb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        input_output_aliases={len(ws) + 1: 0},  # dy buffer becomes dx
+        interpret=interpret,
+    )(x, *ws, dy)
+    dx = outs[0]
+    wgrads = [
+        g.reshape(shp) for g, shp in zip(outs[1:], wgrad_shapes)
+    ]
+    return dx, wgrads
+
+
+def _use_xla_bwd() -> bool:
+    return os.environ.get("MIA_VIT_BWD", "").lower() == "xla"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def fused_attn_block(x, wqkv, bqkv, wo, bo, ln_g, ln_b, heads,
                      g_batch=4, interpret=None):
@@ -179,11 +414,25 @@ def _fab_fwd(x, wqkv, bqkv, wo, bo, ln_g, ln_b, heads, g_batch, interpret):
 
 def _fab_bwd(heads, g_batch, interpret, res, dy):
     x, wqkv, bqkv, wo, bo, ln_g, ln_b = res
-    _, vjp = jax.vjp(
-        lambda *a: _attn_unfused(*a, heads=heads),
-        x, wqkv, bqkv, wo, bo, ln_g, ln_b,
+    if _use_xla_bwd():
+        _, vjp = jax.vjp(
+            lambda *a: _attn_unfused(*a, heads=heads),
+            x, wqkv, bqkv, wo, bo, ln_g, ln_b,
+        )
+        return vjp(dy)
+    if interpret is None:
+        interpret = _interpret_default()
+    l, d = x.shape[1], x.shape[2]
+    dx, wg = _bwd_call(
+        _attn_block_bwd_kernel, x,
+        (wqkv, bqkv, wo, bo, ln_g, ln_b), dy,
+        [wqkv.shape, bqkv.shape, wo.shape, bo.shape, ln_g.shape,
+         ln_b.shape],
+        {"heads": heads}, g_batch, interpret,
+        stack_bytes=lambda gb: _attn_bwd_stack_bytes(gb, l, d),
     )
-    return vjp(dy)
+    prim = (wqkv, bqkv, wo, bo, ln_g, ln_b)
+    return (dx, *(g.astype(p.dtype) for g, p in zip(wg, prim)))
 
 
 fused_attn_block.defvjp(_fab_fwd, _fab_bwd)
@@ -210,8 +459,21 @@ def _fmb_fwd(x, w1, b1, w2, b2, ln_g, ln_b, g_batch, interpret):
 
 def _fmb_bwd(g_batch, interpret, res, dy):
     x, w1, b1, w2, b2, ln_g, ln_b = res
-    _, vjp = jax.vjp(_mlp_unfused, x, w1, b1, w2, b2, ln_g, ln_b)
-    return vjp(dy)
+    if _use_xla_bwd():
+        _, vjp = jax.vjp(_mlp_unfused, x, w1, b1, w2, b2, ln_g, ln_b)
+        return vjp(dy)
+    if interpret is None:
+        interpret = _interpret_default()
+    l, d = x.shape[1], x.shape[2]
+    hidden = w1.shape[1]
+    dx, wg = _bwd_call(
+        _mlp_block_bwd_kernel, x, (w1, b1, w2, b2, ln_g, ln_b), dy,
+        [w1.shape, b1.shape, w2.shape, b2.shape, ln_g.shape, ln_b.shape],
+        {}, g_batch, interpret,
+        stack_bytes=lambda gb: _mlp_bwd_stack_bytes(gb, l, d, hidden),
+    )
+    prim = (w1, b1, w2, b2, ln_g, ln_b)
+    return (dx, *(g.astype(p.dtype) for g, p in zip(wg, prim)))
 
 
 fused_mlp_block.defvjp(_fmb_fwd, _fmb_bwd)

@@ -97,3 +97,19 @@ def test_compiled_vit_block_matches_unfused():
     ).astype(np.float32)
     y_p = np.asarray(plain.apply(params, x)).astype(np.float32)
     np.testing.assert_allclose(y_f, y_p, rtol=5e-2, atol=5e-2)
+
+    # gradients: the compiled fused BACKWARD kernels (round 3) vs the
+    # unfused XLA vjp, params and input together.
+    def loss(mod):
+        def f(p, xx):
+            return jnp.mean(mod.apply(p, xx).astype(jnp.float32) ** 2)
+        return f
+
+    g_f = jax.jit(jax.grad(loss(fused), argnums=(0, 1)))(params, x)
+    g_p = jax.jit(jax.grad(loss(plain), argnums=(0, 1)))(params, x)
+    for gf, gp in zip(jax.tree_util.tree_leaves(g_f),
+                      jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(
+            np.asarray(gf, np.float32), np.asarray(gp, np.float32),
+            rtol=5e-2, atol=5e-3,
+        )

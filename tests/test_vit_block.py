@@ -81,6 +81,33 @@ def test_fused_block_gradients_match():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_fused_bwd_kernel_all_grads_match_xla():
+    """The fused backward kernels (round 3) vs jax.vjp of the unfused
+    path: every input and weight gradient, with a multi-step grid
+    (b=6, g_batch=2 → 3 accumulation steps)."""
+    d, h = 32, 4
+    w = _weights(jax.random.PRNGKey(4), d, 4 * d)
+    w = {k: v + 0.05 for k, v in w.items()}  # nonzero biases/LN offsets
+    x = jax.random.normal(jax.random.PRNGKey(5), (6, 12, d))
+    dy = jax.random.normal(jax.random.PRNGKey(6), (6, 12, d))
+
+    aa = (w["wqkv"], w["bqkv"], w["wo"], w["bo"], w["g"], w["b"])
+    _, vjp_f = jax.vjp(
+        lambda *a: fused_attn_block(*a, h, 2, True), x, *aa
+    )
+    _, vjp_r = jax.vjp(lambda *a: _attn_unfused(*a, heads=h), x, *aa)
+    for gf, gr in zip(vjp_f(dy), vjp_r(dy)):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-5)
+
+    mm = (w["w1"], w["b1"], w["w2"], w["b2"], w["g"], w["b"])
+    _, vjp_f = jax.vjp(lambda *a: fused_mlp_block(*a, 2, True), x, *mm)
+    _, vjp_r = jax.vjp(_mlp_unfused, x, *mm)
+    for gf, gr in zip(vjp_f(dy), vjp_r(dy)):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_gelu_approximation_below_bf16_rounding():
     """VERDICT round-1 weak #6 quantified: the fused block's tanh-GELU
     vs the parity path's exact-erf GELU diverge by less than bf16
