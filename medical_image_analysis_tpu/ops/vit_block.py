@@ -156,51 +156,91 @@ def _ln_bwd32(dh, xhat, inv, g32):
     return dx32, dg, db
 
 
-def _acc(ref, val):
-    """Accumulate a weight-grad contribution across sequential grid steps."""
+def _acc_at(ref, idx, val):
+    """Accumulate a weight-grad contribution across sequential grid steps
+    into a (statically sliced) region of an output ref."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
-        ref[:] = val.astype(ref.dtype)
+        ref[idx] = val.astype(ref.dtype)
 
     @pl.when(i > 0)
     def _add():
-        ref[:] = ref[:] + val.astype(ref.dtype)
+        ref[idx] = ref[idx] + val.astype(ref.dtype)
+
+
+def _acc(ref, val):
+    _acc_at(ref, tuple(slice(None) for _ in ref.shape), val)
+
+
+def _acc_dyn(ref, idx, val, first):
+    """Accumulate into a dynamically-sliced region of an output ref;
+    `first` selects init-vs-add (True only on grid step 0)."""
+
+    @pl.when(first)
+    def _init():
+        ref[idx] = val.astype(ref.dtype)
+
+    @pl.when(jnp.logical_not(first))
+    def _add():
+        ref[idx] = ref[idx] + val.astype(ref.dtype)
 
 
 def _mlp_block_bwd_kernel(
     x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref, dy_ref,
     dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbl_ref,
+    *, hc,
 ):
+    # The hidden dimension is processed in hc-column chunks inside a
+    # fori_loop (NOT a Python loop: Mosaic allocates each unrolled
+    # iteration's matmul temps separately on the stack — measured
+    # 19.8M with 16 unrolled chunks vs the same work in-loop) so the
+    # fp32 (rows, hidden) activations and (d, hidden) weight-grad temps
+    # never exist at full width. Unchunked, the kernel measures 19.3M
+    # at ViT-B encoder shapes and 24.9M at the MAE decoder's L=577 —
+    # past the 16M Mosaic stack limit.
     x = x_ref[:]
     gb, l, d = x.shape
+    hidden = w1_ref.shape[1]
     xhat, inv, g32, h32 = _ln_fwd32(x.reshape(gb * l, d), g_ref, b_ref)
     h = h32.astype(x.dtype)
-    hpre = jax.lax.dot_general(
-        h, w1_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1_ref[0][None].astype(jnp.float32)
-    hid = jax.nn.gelu(hpre, approximate=True).astype(x.dtype)
     dy = dy_ref[:].reshape(gb * l, d)
-    _acc(dw2_ref, jax.lax.dot_general(
-        hid, dy, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ))
     _acc(db2_ref, jnp.sum(dy.astype(jnp.float32), axis=0)[None])
-    dhid = jax.lax.dot_general(
-        dy, w2_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dhpre = (dhid * _gelu_tanh_grad(hpre)).astype(x.dtype)
-    _acc(dw1_ref, jax.lax.dot_general(
-        h, dhpre, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ))
-    _acc(db1_ref, jnp.sum(dhpre.astype(jnp.float32), axis=0)[None])
-    dh = jax.lax.dot_general(
-        dhpre, w1_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    first = pl.program_id(0) == 0
+    rows = slice(None)
+
+    def chunk(j, dh):
+        c = j * hc
+        w1c = w1_ref[rows, pl.ds(c, hc)]  # (d, hc)
+        hpre = jax.lax.dot_general(
+            h, w1c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[slice(0, 1), pl.ds(c, hc)].astype(jnp.float32)
+        hid = jax.nn.gelu(hpre, approximate=True).astype(x.dtype)
+        _acc_dyn(dw2_ref, (pl.ds(c, hc), rows), jax.lax.dot_general(
+            hid, dy, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ), first)
+        dhid = jax.lax.dot_general(
+            dy, w2_ref[pl.ds(c, hc), rows],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dhpre = (dhid * _gelu_tanh_grad(hpre)).astype(x.dtype)
+        _acc_dyn(dw1_ref, (rows, pl.ds(c, hc)), jax.lax.dot_general(
+            h, dhpre, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ), first)
+        _acc_dyn(db1_ref, (slice(0, 1), pl.ds(c, hc)),
+                 jnp.sum(dhpre.astype(jnp.float32), axis=0)[None], first)
+        return dh + jax.lax.dot_general(
+            dhpre, w1c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dh = jax.lax.fori_loop(
+        0, hidden // hc, chunk, jnp.zeros((gb * l, d), jnp.float32)
     )
     dx32, dg, dbl = _ln_bwd32(dh, xhat, inv, g32)
     _acc(dg_ref, dg[None])
@@ -342,8 +382,38 @@ def _attn_bwd_stack_bytes(gb, l, d):
     return 4 * gb * l * (20 * d + 14 * l)
 
 
-def _mlp_bwd_stack_bytes(gb, l, d, hidden):
-    return int(4 * gb * l * (4 * d + 4.5 * hidden))
+def _mlp_bwd_stack_bytes(gb, l, d, hidden, hc):
+    # calibrated against measured Mosaic stack sizes of the UNCHUNKED
+    # kernel (hc=hidden): 19.3M at (1,145,768,3072), 24.9M at
+    # (1,577,512,2048); this model predicts 26.4M / 28.5M for those —
+    # conservative by design (Mosaic reuses some stack slots).
+    r = gb * l
+    return 20 * r * d + 12 * r * hc + 8 * d * hc
+
+
+def _mlp_bwd_plan(b, l, d, hidden, g_batch):
+    """Pick (g_batch, hidden-chunk) for the fused MLP bwd kernel; larger
+    batch blocks first (fewer weight re-fetches), then larger hidden
+    chunks (fewer passes). None if nothing fits the VMEM stack.
+
+    Plans against 13M, not the 16M Mosaic limit: the same kernel's
+    measured stack grows ~1-2M when embedded in a large training graph
+    (XLA pins the fp32 weight-grad outputs in VMEM for the optimizer
+    fusion that consumes them) vs compiled standalone.
+    """
+    budget = 13 * 1024 * 1024
+    hcs = [hc for hc in (1024, 512, 256, 128) if hidden % hc == 0]
+    if not hcs:
+        hcs = [hidden]
+    gb = g_batch
+    while gb > 1 and b % gb:
+        gb //= 2
+    while gb >= 1:
+        for hc in hcs:
+            if _mlp_bwd_stack_bytes(gb, l, d, hidden, hc) <= budget:
+                return gb, hc
+        gb //= 2
+    return None
 
 
 def _bwd_call(kernel, x, weights, dy, wgrad_shapes, extra_kwargs, g_batch,
@@ -414,15 +484,20 @@ def _fab_fwd(x, wqkv, bqkv, wo, bo, ln_g, ln_b, heads, g_batch, interpret):
 
 def _fab_bwd(heads, g_batch, interpret, res, dy):
     x, wqkv, bqkv, wo, bo, ln_g, ln_b = res
-    if _use_xla_bwd():
+    if interpret is None:
+        interpret = _interpret_default()
+    l, d = x.shape[1], x.shape[2]
+    # The bwd kernel keeps the whole recomputed sub-layer live in VMEM;
+    # when even a single-row batch block exceeds the Mosaic stack limit
+    # (e.g. the MAE decoder at L=577 — prime, so rows can't split), the
+    # compiled kernel is impossible and the XLA vjp takes over.
+    oversize = not interpret and _attn_bwd_stack_bytes(1, l, d) > _VMEM_BUDGET
+    if _use_xla_bwd() or oversize:
         _, vjp = jax.vjp(
             lambda *a: _attn_unfused(*a, heads=heads),
             x, wqkv, bqkv, wo, bo, ln_g, ln_b,
         )
         return vjp(dy)
-    if interpret is None:
-        interpret = _interpret_default()
-    l, d = x.shape[1], x.shape[2]
     dx, wg = _bwd_call(
         _attn_block_bwd_kernel, x,
         (wqkv, bqkv, wo, bo, ln_g, ln_b), dy,
@@ -459,18 +534,19 @@ def _fmb_fwd(x, w1, b1, w2, b2, ln_g, ln_b, g_batch, interpret):
 
 def _fmb_bwd(g_batch, interpret, res, dy):
     x, w1, b1, w2, b2, ln_g, ln_b = res
-    if _use_xla_bwd():
-        _, vjp = jax.vjp(_mlp_unfused, x, w1, b1, w2, b2, ln_g, ln_b)
-        return vjp(dy)
     if interpret is None:
         interpret = _interpret_default()
-    l, d = x.shape[1], x.shape[2]
+    b, l, d = x.shape
     hidden = w1.shape[1]
+    plan = _mlp_bwd_plan(b, l, d, hidden, g_batch)
+    if _use_xla_bwd() or (not interpret and plan is None):
+        _, vjp = jax.vjp(_mlp_unfused, x, w1, b1, w2, b2, ln_g, ln_b)
+        return vjp(dy)
+    gb, hc = plan if plan is not None else (g_batch, hidden)
     dx, wg = _bwd_call(
         _mlp_block_bwd_kernel, x, (w1, b1, w2, b2, ln_g, ln_b), dy,
         [w1.shape, b1.shape, w2.shape, b2.shape, ln_g.shape, ln_b.shape],
-        {}, g_batch, interpret,
-        stack_bytes=lambda gb: _mlp_bwd_stack_bytes(gb, l, d, hidden),
+        {"hc": hc}, gb, interpret,
     )
     prim = (w1, b1, w2, b2, ln_g, ln_b)
     return (dx, *(g.astype(p.dtype) for g, p in zip(wg, prim)))

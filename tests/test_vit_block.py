@@ -108,6 +108,32 @@ def test_fused_bwd_kernel_all_grads_match_xla():
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_fused_mlp_bwd_multi_chunk():
+    """hidden=2048 at d=32 makes _mlp_bwd_plan pick hc=1024 → the chunk
+    loop runs twice; gradients must still match the unfused vjp."""
+    from medical_image_analysis_tpu.ops.vit_block import _mlp_bwd_plan
+
+    d, hidden = 32, 2048
+    assert _mlp_bwd_plan(4, 12, d, hidden, 2)[1] < hidden
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    w1 = jax.random.normal(ks[0], (d, hidden)) * 0.05
+    w2 = jax.random.normal(ks[1], (hidden, d)) * 0.05
+    b1 = jnp.full((hidden,), 0.01)
+    b2 = jnp.full((d,), 0.02)
+    g = jnp.ones((d,)) * 1.1
+    b = jnp.full((d,), -0.03)
+    x = jax.random.normal(ks[2], (4, 12, d))
+    dy = jax.random.normal(jax.random.PRNGKey(8), (4, 12, d))
+
+    _, vjp_f = jax.vjp(
+        lambda *a: fused_mlp_block(*a, 2, True), x, w1, b1, w2, b2, g, b
+    )
+    _, vjp_r = jax.vjp(_mlp_unfused, x, w1, b1, w2, b2, g, b)
+    for gf, gr in zip(vjp_f(dy), vjp_r(dy)):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_gelu_approximation_below_bf16_rounding():
     """VERDICT round-1 weak #6 quantified: the fused block's tanh-GELU
     vs the parity path's exact-erf GELU diverge by less than bf16
