@@ -382,11 +382,25 @@ def _attn_bwd_stack_bytes(gb, l, d):
     return 4 * gb * l * (20 * d + 14 * l)
 
 
+def _mlp_bwd_out_bytes(d, hidden):
+    # fp32 weight-grad outputs accumulated across the sequential grid
+    # stay resident in scoped VMEM for the WHOLE kernel (the measured
+    # in-graph failure: 20.68M scoped alloc at ViT-B where the
+    # stack-only model said 11.7M — dw1+dw2 alone are 8*d*hidden =
+    # 18.9M at d=768/hidden=3072). Chunking the hidden dim shrinks the
+    # temps but not these outputs, so at ViT-B-and-up the fused MLP bwd
+    # is structurally impossible under Mosaic's 16M scoped-vmem limit
+    # and the plan returns None (XLA vjp takes over). A split dx/dw
+    # kernel pair would lift the limit but costs ~3 extra full matmul
+    # passes (hpre/dhid recomputed in both kernels) — priced at
+    # ViT-B 3842 as a wash-to-loss vs the XLA vjp, so not built.
+    return 4 * (2 * d * hidden + hidden + 3 * d)
+
+
 def _mlp_bwd_stack_bytes(gb, l, d, hidden, hc):
-    # calibrated against measured Mosaic stack sizes of the UNCHUNKED
-    # kernel (hc=hidden): 19.3M at (1,145,768,3072), 24.9M at
-    # (1,577,512,2048); this model predicts 26.4M / 28.5M for those —
-    # conservative by design (Mosaic reuses some stack slots).
+    # temp model calibrated against measured Mosaic stacks of the
+    # unchunked kernel (19.3M at (1,145,768,3072) incl. its 18.9M of
+    # resident outputs); outputs are accounted separately above.
     r = gb * l
     return 20 * r * d + 12 * r * hc + 8 * d * hc
 
@@ -394,14 +408,11 @@ def _mlp_bwd_stack_bytes(gb, l, d, hidden, hc):
 def _mlp_bwd_plan(b, l, d, hidden, g_batch):
     """Pick (g_batch, hidden-chunk) for the fused MLP bwd kernel; larger
     batch blocks first (fewer weight re-fetches), then larger hidden
-    chunks (fewer passes). None if nothing fits the VMEM stack.
-
-    Plans against 13M, not the 16M Mosaic limit: the same kernel's
-    measured stack grows ~1-2M when embedded in a large training graph
-    (XLA pins the fp32 weight-grad outputs in VMEM for the optimizer
-    fusion that consumes them) vs compiled standalone.
-    """
-    budget = 13 * 1024 * 1024
+    chunks (fewer passes). None if temps + resident fp32 weight-grad
+    outputs cannot fit the Mosaic scoped-vmem limit."""
+    budget = 13 * 1024 * 1024 - _mlp_bwd_out_bytes(d, hidden)
+    if budget <= 0:
+        return None
     hcs = [hc for hc in (1024, 512, 256, 128) if hidden % hc == 0]
     if not hcs:
         hcs = [hidden]
@@ -487,11 +498,16 @@ def _fab_bwd(heads, g_batch, interpret, res, dy):
     if interpret is None:
         interpret = _interpret_default()
     l, d = x.shape[1], x.shape[2]
-    # The bwd kernel keeps the whole recomputed sub-layer live in VMEM;
-    # when even a single-row batch block exceeds the Mosaic stack limit
-    # (e.g. the MAE decoder at L=577 — prime, so rows can't split), the
+    # The bwd kernel keeps the whole recomputed sub-layer live in VMEM
+    # plus its fp32 weight-grad outputs (resident across the sequential
+    # grid: 16*d^2 + small ~ 9.4M at d=768); when even a single-row
+    # batch block exceeds the Mosaic scoped-vmem limit (ViT-B d=768, or
+    # the MAE decoder at L=577 — prime, so rows can't split), the
     # compiled kernel is impossible and the XLA vjp takes over.
-    oversize = not interpret and _attn_bwd_stack_bytes(1, l, d) > _VMEM_BUDGET
+    attn_out = 4 * (4 * d * d + 3 * d + d + d + d)
+    oversize = not interpret and (
+        _attn_bwd_stack_bytes(1, l, d) + attn_out > _VMEM_BUDGET
+    )
     if _use_xla_bwd() or oversize:
         _, vjp = jax.vjp(
             lambda *a: _attn_unfused(*a, heads=heads),
@@ -504,7 +520,7 @@ def _fab_bwd(heads, g_batch, interpret, res, dy):
         [wqkv.shape, bqkv.shape, wo.shape, bo.shape, ln_g.shape,
          ln_b.shape],
         {"heads": heads}, g_batch, interpret,
-        stack_bytes=lambda gb: _attn_bwd_stack_bytes(gb, l, d),
+        stack_bytes=lambda gb: _attn_bwd_stack_bytes(gb, l, d) + attn_out,
     )
     prim = (wqkv, bqkv, wo, bo, ln_g, ln_b)
     return (dx, *(g.astype(p.dtype) for g, p in zip(wg, prim)))

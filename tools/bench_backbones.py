@@ -1,6 +1,6 @@
-"""Model-level fwd / fwd+bwd throughput for the Mamba backbones.
+"""Model-level fwd / fwd+bwd throughput for the vision backbones.
 
-Usage: python tools/bench_backbones.py [arm|vssm|both] [fwd|bwd|both]
+Usage: python tools/bench_backbones.py [arm|vssm|swin|both] [fwd|bwd|both]
 Timing uses the bench.py method (tools.sweep_scan.timeit).
 """
 
@@ -26,6 +26,11 @@ def bench(family: str, mode: str):
 
         model = ARM(**vision_preset("arm", "base"))
         b = 32
+    elif family == "swin":
+        from medical_image_analysis_tpu.models.swin import build_swin
+
+        model = build_swin("swin_base")
+        b = 64
     else:
         from medical_image_analysis_tpu.models.vmamba import VSSM
 
