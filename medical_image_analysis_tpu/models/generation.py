@@ -179,10 +179,28 @@ def beam_generate(
     repetition_penalty: float = 1.0,
     length_penalty: float = 1.0,
     reorder_cache_fn=None,
+    ancestry_slots: int | None = None,
+    prompt_len: int = 0,
 ):
-    """Beam search; returns the best sequence per item, (B, max_new_tokens)."""
+    """Beam search; returns the best sequence per item, (B, max_new_tokens).
+
+    Two cache strategies:
+
+    - ``reorder_cache_fn`` (default): the KV cache is physically
+      re-gathered to parent rows every step (HF/t5x style). Reads and
+      rewrites the whole cache per step — the dominant HBM traffic of
+      beam decode (BENCH.md serving notes).
+    - ``ancestry_slots=S``: the cache is APPEND-ONLY. A (rows, S) int32
+      ancestry map tracks, per logical beam and slot, which physical
+      group row wrote that slot's KV; attention resolves it in-kernel
+      (``models/llm.py _ancestry_decode_attn``). ``decode_step`` then
+      takes ``(tokens, cache, anc, t)`` and S must equal the cache's
+      slot count. Token output is identical to the reorder path (same
+      fp32 dot products, selected not gathered).
+    """
     nb = num_beams
     v = first_logits.shape[-1]
+    ancestry = ancestry_slots is not None
 
     def expand(logits, alive_seq, alive_logp, fin_seq, fin_scores, t):
         """One beam-expansion step from per-beam logits (B, nb, V)."""
@@ -231,23 +249,47 @@ def beam_generate(
         logits0, alive_seq, alive_logp, fin_seq, fin_scores, 0
     )
     flat_idx = (jnp.arange(batch)[:, None] * nb + bidx).reshape(-1)
-    cache = reorder_cache_fn(cache, flat_idx)
+    if ancestry:
+        own = (jnp.arange(batch * nb) % nb).astype(jnp.int32)
+        # Prompt KV is replicated across a group's rows, so "own row"
+        # is a valid ancestor for every slot; parent-gathers keep the
+        # invariant for generated slots.
+        anc = jnp.broadcast_to(
+            own[:, None], (batch * nb, ancestry_slots)
+        )[flat_idx]
+        slot_iota = jnp.arange(ancestry_slots)[None]
+    else:
+        anc = jnp.zeros((1,), jnp.int32)  # pytree placeholder
+        cache = reorder_cache_fn(cache, flat_idx)
 
     def body(t, state):
-        alive_seq, alive_logp, fin_seq, fin_scores, cache, tok = state
-        logits, cache = decode_step(tok.reshape(batch * nb, 1), cache, t)
+        alive_seq, alive_logp, fin_seq, fin_scores, cache, anc, tok = state
+        if ancestry:
+            # decode_step is about to write slot prompt_len+t-1 into
+            # each row's OWN cache row and reads it in the same
+            # attention call — mark it before the step.
+            anc = jnp.where(
+                slot_iota == prompt_len + t - 1, own[:, None], anc
+            )
+            logits, cache = decode_step(
+                tok.reshape(batch * nb, 1), cache, anc, t
+            )
+        else:
+            logits, cache = decode_step(tok.reshape(batch * nb, 1), cache, t)
         alive_seq, alive_logp, fin_seq, fin_scores, bidx, tok = expand(
             logits.reshape(batch, nb, v),
             alive_seq, alive_logp, fin_seq, fin_scores, t,
         )
         flat_idx = (jnp.arange(batch)[:, None] * nb + bidx).reshape(-1)
-        cache = reorder_cache_fn(cache, flat_idx)
-        return alive_seq, alive_logp, fin_seq, fin_scores, cache, tok
+        if ancestry:
+            anc = anc[flat_idx]
+        else:
+            cache = reorder_cache_fn(cache, flat_idx)
+        return alive_seq, alive_logp, fin_seq, fin_scores, cache, anc, tok
 
-    state = (alive_seq, alive_logp, fin_seq, fin_scores, cache, tok)
-    alive_seq, alive_logp, fin_seq, fin_scores, cache, _ = jax.lax.fori_loop(
-        1, max_new_tokens, body, state
-    )
+    state = (alive_seq, alive_logp, fin_seq, fin_scores, cache, anc, tok)
+    (alive_seq, alive_logp, fin_seq, fin_scores, cache, anc,
+     _) = jax.lax.fori_loop(1, max_new_tokens, body, state)
 
     # If nothing finished, fall back to the best alive beam.
     alive_scores = alive_logp / float(max_new_tokens) ** length_penalty

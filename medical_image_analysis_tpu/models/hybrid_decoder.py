@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .llm import LLMConfig, LlamaMLP, _rope
+from .llm import LLMConfig, LlamaMLP, _ancestry_decode_attn, _rope
 
 
 class HybridAttention(nn.Module):
@@ -32,7 +32,7 @@ class HybridAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, mask, vision, layer_cache=None,
-                 text_mask=None):
+                 text_mask=None, beam=None):
         cfg = self.cfg
         b, l, _ = x.shape
         nh, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -62,16 +62,24 @@ class HybridAttention(nn.Module):
             rep = nh // nkv
             k_all = jnp.repeat(k_all, rep, axis=2)
             v_all = jnp.repeat(v_all, rep, axis=2)
-        # bf16 operands + fp32 accumulation: exact products, no
-        # multi-pass fp32 MXU matmul (see models/llm.py LlamaAttention).
-        attn = jnp.einsum(
-            "blhd,bshd->bhls", q_rot, k_all,
-            preferred_element_type=jnp.float32,
-        ) * hd**-0.5
-        attn = jax.nn.softmax(attn + mask, axis=-1)
-        self_out = jnp.einsum(
-            "bhls,bshd->blhd", attn.astype(v_all.dtype), v_all
-        ).reshape(b, l, nh * hd)
+        if beam is not None and l == 1:
+            # Append-only beam cache: ancestry resolved inside attention
+            # (models/llm.py _ancestry_decode_attn). Vision cross-attn
+            # below needs no reorder — vision rows are beam-replicated.
+            self_out = _ancestry_decode_attn(
+                q_rot, k_all, v_all, mask, beam, hd
+            ).reshape(b, l, nh * hd)
+        else:
+            # bf16 operands + fp32 accumulation: exact products, no
+            # multi-pass fp32 MXU matmul (see models/llm.py LlamaAttention).
+            attn = jnp.einsum(
+                "blhd,bshd->bhls", q_rot, k_all,
+                preferred_element_type=jnp.float32,
+            ) * hd**-0.5
+            attn = jax.nn.softmax(attn + mask, axis=-1)
+            self_out = jnp.einsum(
+                "bhls,bshd->blhd", attn.astype(v_all.dtype), v_all
+            ).reshape(b, l, nh * hd)
 
         # Vision cross-attention with the SAME (un-rotated) queries.
         kv = nn.Dense(
@@ -113,12 +121,12 @@ class HybridDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, mask, vision, layer_cache=None,
-                 text_mask=None):
+                 text_mask=None, beam=None):
         cfg = self.cfg
         h = nn.RMSNorm(epsilon=cfg.norm_eps, name="input_layernorm")(x)
         attn_out, new_cache = HybridAttention(
             cfg, self.gate_fn, self.text_only_cross, name="self_attn"
-        )(h, positions, mask, vision, layer_cache, text_mask)
+        )(h, positions, mask, vision, layer_cache, text_mask, beam)
         x = x + attn_out
         h = nn.RMSNorm(epsilon=cfg.norm_eps, name="post_attention_layernorm")(x)
         return x + LlamaMLP(cfg, name="mlp")(h), new_cache
@@ -168,7 +176,7 @@ class HybridTransformerLM(nn.Module):
 
     def __call__(self, input_ids=None, inputs_embeds=None, vision=None,
                  attention_mask=None, positions=None, cache=None,
-                 cache_mask=None, text_mask=None):
+                 cache_mask=None, text_mask=None, beam=None):
         cfg = self.cfg
         if inputs_embeds is None:
             inputs_embeds = self.embed_tokens(input_ids)
@@ -201,9 +209,9 @@ class HybridTransformerLM(nn.Module):
             layer_cache = cache[i] if cache is not None else None
             if isinstance(layer, HybridDecoderLayer):
                 x, lc = layer(x, positions, mask, vision, layer_cache,
-                              text_mask)
+                              text_mask, beam)
             else:
-                x, lc = layer(x, positions, mask, layer_cache)
+                x, lc = layer(x, positions, mask, layer_cache, beam)
             if new_cache is not None:
                 new_cache.append(lc)
 

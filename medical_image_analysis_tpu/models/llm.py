@@ -112,7 +112,7 @@ class LlamaAttention(nn.Module):
     cfg: LLMConfig
 
     @nn.compact
-    def __call__(self, x, positions, mask, layer_cache=None):
+    def __call__(self, x, positions, mask, layer_cache=None, beam=None):
         cfg = self.cfg
         b, l, _ = x.shape
         nh, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -139,6 +139,11 @@ class LlamaAttention(nn.Module):
             k_all = jnp.repeat(k_all, rep, axis=2)
             v_all = jnp.repeat(v_all, rep, axis=2)
 
+        if beam is not None and l == 1:
+            out = _ancestry_decode_attn(q, k_all, v_all, mask, beam, hd)
+            out = out.reshape(b, l, nh * hd)
+            return _dense(cfg, cfg.dim, "o_proj")(out), new_cache
+
         # bf16 inputs with fp32 accumulation: each bf16*bf16 product is
         # exact in fp32, so this equals the cast-to-fp32 einsum bit for
         # bit while avoiding the multi-pass fp32 matmul on the MXU (and
@@ -153,6 +158,49 @@ class LlamaAttention(nn.Module):
         out = out.reshape(b, l, nh * hd)
         out = _dense(cfg, cfg.dim, "o_proj")(out)
         return out, new_cache
+
+
+def _ancestry_decode_attn(q, k_all, v_all, mask, beam, hd):
+    """Beam decode attention over an APPEND-ONLY cache (no per-step
+    physical reorder).
+
+    ``beam``: (B, nb, S) int32 ancestry map — ``beam[b, i, s]`` is the
+    group-relative cache row (0..nb-1) holding logical beam (b, i)'s
+    token at slot s. (nb rides in the shape so the argument stays a
+    plain array — safe through ``nn.remat`` boundaries.) Instead of a
+    per-(row, s) gather (unvectorizable on TPU), scores against ALL nb
+    rows of the group are computed — nb x the decode attention FLOPs,
+    trivial next to its HBM traffic — and the ancestry row is selected
+    with an elementwise mask. This removes the full-cache gather+rewrite
+    the reorder path does each step (~2/3 of beam-decode HBM traffic,
+    BENCH.md serving notes); the per-slot dot products are identical fp32
+    values, so logits match the reorder path.
+
+    q (R,1,nh,hd); k/v (R,S,nh,hd); mask (R,1,1,S) additive. R = B*nb.
+    """
+    anc = beam
+    nb = anc.shape[1]
+    r, s, nh = k_all.shape[0], k_all.shape[1], k_all.shape[2]
+    bb = r // nb
+    qg = q[:, 0].reshape(bb, nb, nh, hd)
+    kg = k_all.reshape(bb, nb, s, nh, hd)
+    sall = jnp.einsum(
+        "bihd,bjshd->bhijs", qg, kg, preferred_element_type=jnp.float32
+    ) * hd**-0.5
+    sel = (
+        anc[:, :, None, :]
+        == jnp.arange(nb, dtype=anc.dtype)[None, None, :, None]
+    )  # (B, i, j, s)
+    scores = jnp.sum(jnp.where(sel[:, None], sall, 0.0), axis=3)
+    mask = jnp.broadcast_to(mask, (r, 1, 1, s))  # batch dim may be 1
+    scores = scores + mask.reshape(bb, nb, 1, s).transpose(0, 2, 1, 3)
+    p = jax.nn.softmax(scores, axis=-1)  # (B, h, i, s) fp32
+    vg = v_all.reshape(bb, nb, s, nh, hd)
+    pj = jnp.where(
+        sel[:, None], p[:, :, :, None, :], 0.0
+    ).astype(v_all.dtype)  # (B, h, i, j, s)
+    out = jnp.einsum("bhijs,bjshd->bihd", pj, vg)
+    return out.reshape(r, 1, nh, hd)
 
 
 class LlamaMLP(nn.Module):
@@ -170,11 +218,11 @@ class LlamaBlock(nn.Module):
     cfg: LLMConfig
 
     @nn.compact
-    def __call__(self, x, positions, mask, layer_cache=None):
+    def __call__(self, x, positions, mask, layer_cache=None, beam=None):
         cfg = self.cfg
         h = nn.RMSNorm(epsilon=cfg.norm_eps, name="input_layernorm")(x)
         attn_out, new_cache = LlamaAttention(cfg, name="self_attn")(
-            h, positions, mask, layer_cache
+            h, positions, mask, layer_cache, beam
         )
         x = x + attn_out
         h = nn.RMSNorm(epsilon=cfg.norm_eps, name="post_attention_layernorm")(x)
@@ -222,6 +270,7 @@ class TransformerLM(nn.Module):
         positions: jax.Array | None = None,  # (B, L)
         cache: list | None = None,
         cache_mask: jax.Array | None = None,  # (B, max_len) 1=valid slot
+        beam: jax.Array | None = None,  # (B, nb, max_len) int32 ancestry
     ):
         cfg = self.cfg
         if inputs_embeds is None:
@@ -256,7 +305,7 @@ class TransformerLM(nn.Module):
         new_cache = [] if cache is not None else None
         for i in range(cfg.n_layers):
             layer_cache = cache[i] if cache is not None else None
-            x, lc = self.layers[i](x, positions, mask, layer_cache)
+            x, lc = self.layers[i](x, positions, mask, layer_cache, beam)
             if new_cache is not None:
                 new_cache.append(lc)
 

@@ -49,6 +49,10 @@ class GenerateConfig:
     length_penalty: float = 2.0
     eos_id: int = 2
     max_cache_len: int = 1024
+    # Append-only beam KV cache with in-attention ancestry resolution
+    # (generation.py ancestry_slots) instead of per-step physical cache
+    # reorder; identical tokens, ~2/3 less decode HBM traffic.
+    beam_ancestry: bool = True
 
 
 def lm_cross_entropy(logits, labels, mask):
@@ -164,14 +168,26 @@ class MRGMixin:
             )
             return logits[:, 0], cache
 
+        def step_anc(tokens, cache, anc, t):
+            pos = jnp.full((tokens.shape[0], 1), lp) + t
+            logits, cache = self.llm(
+                input_ids=tokens, positions=pos, cache=cache,
+                beam=anc.reshape(b, nb, -1), **llm_kwargs
+            )
+            return logits[:, 0], cache
+
         if nb > 1:
+            use_anc = gcfg.beam_ancestry
             return beam_generate(
-                step, cache, first[:, -1], batch=b, num_beams=nb,
+                step_anc if use_anc else step, cache, first[:, -1],
+                batch=b, num_beams=nb,
                 max_new_tokens=gcfg.max_new_tokens, eos_id=gcfg.eos_id,
                 min_new_tokens=gcfg.min_new_tokens,
                 repetition_penalty=gcfg.repetition_penalty,
                 length_penalty=gcfg.length_penalty,
                 reorder_cache_fn=reorder_cache,
+                ancestry_slots=gcfg.max_cache_len if use_anc else None,
+                prompt_len=lp,
             )
         return greedy_generate(
             step, cache, first[:, -1],

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.gather import perm_gather, subset_gather
 from .common import DropPath, Mlp, PatchEmbed, trunc_normal_init
 
 
@@ -94,7 +95,9 @@ class TransformerBlock(nn.Module):
             _attn_unfused,
             _mlp_unfused,
             fused_attn_block,
+            fused_bwd_fits,
             fused_mlp_block,
+            in_training_trace,
         )
 
         dt = x.dtype
@@ -106,6 +109,20 @@ class TransformerBlock(nn.Module):
             use_fused = False
         if self.is_initializing():
             use_fused = False  # init runs f32 on tiny shapes; skip kernels
+        if (
+            use_fused
+            and (not deterministic or in_training_trace())
+            and not fused_bwd_fits(
+                x.shape[0], x.shape[1], self.dim,
+                int(self.dim * self.mlp_ratio),
+            )
+        ):
+            # Training trace (grads will be taken) at shapes where the
+            # fused backward kernels cannot compile: plain XLA AD with
+            # saved residuals beats fused-fwd + recompute-fallback bwd
+            # by ~25% on the full MAE step (ops/vit_block.py
+            # fused_bwd_fits).
+            use_fused = False
 
         if use_fused:
             x = fused_attn_block(
@@ -204,7 +221,7 @@ def region_masking(
     ids_restore = jnp.argsort(ids_shuffle, axis=1)
     len_keep = keep_out + keep_in
     ids_keep = ids_shuffle[:, :len_keep]
-    x_keep = jnp.take_along_axis(x, ids_keep[..., None], axis=1)
+    x_keep = subset_gather(x, ids_keep, ids_restore)
     mask = jnp.ones((n, l)).at[:, :len_keep].set(0.0)
     mask = jnp.take_along_axis(mask, ids_restore, axis=1)
     return x_keep, mask, ids_restore
@@ -345,7 +362,7 @@ class MAE(nn.Module):
             self.mask_token, (b, l + 1 - l_keep1, d)
         ).astype(x.dtype)
         x_ = jnp.concatenate([x[:, 1:], mask_tokens], axis=1)
-        x_ = jnp.take_along_axis(x_, ids_restore[..., None], axis=1)
+        x_ = perm_gather(x_, ids_restore)
         x = jnp.concatenate([x[:, :1], x_], axis=1)
         grid = int(math.isqrt(l))
         pos = jnp.asarray(sincos_pos_embed_2d(d, grid)).astype(x.dtype)

@@ -17,8 +17,10 @@ TPU grid. Set MIA_VIT_BWD=xla to fall back to the round-2 behavior
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +29,30 @@ from jax.experimental import pallas as pl
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
+
+
+_train_trace = threading.local()
+
+
+@contextlib.contextmanager
+def training_trace():
+    """Mark the enclosing trace as a training loss (gradients WILL be
+    taken through it). ``make_train_step`` wraps every loss trace in
+    this; :class:`models.vit.TransformerBlock` reads it at trace time to
+    skip the fused forward at shapes where the fused backward cannot
+    compile (see :func:`fused_bwd_fits`) — models often run their vision
+    towers with ``deterministic=True`` even in training losses, so the
+    ``deterministic`` flag alone under-detects training."""
+    prev = getattr(_train_trace, "on", False)
+    _train_trace.on = True
+    try:
+        yield
+    finally:
+        _train_trace.on = prev
+
+
+def in_training_trace() -> bool:
+    return getattr(_train_trace, "on", False)
 
 
 def _ln(x, scale, bias, eps=1e-6):
@@ -472,6 +498,24 @@ def _bwd_call(kernel, x, weights, dy, wgrad_shapes, extra_kwargs, g_batch,
 
 def _use_xla_bwd() -> bool:
     return os.environ.get("MIA_VIT_BWD", "").lower() == "xla"
+
+
+def fused_bwd_fits(b: int, l: int, d: int, hidden: int,
+                   g_batch: int = 2) -> bool:
+    """True iff BOTH fused backward kernels can compile at these shapes.
+
+    Callers that know gradients will be taken (training mode) should
+    skip the fused forward when this is False: the custom-vjp fallback
+    is ``jax.vjp`` over the unfused path, which recomputes the whole
+    unfused forward inside the backward — measured 5.7x-fwd backward on
+    the ViT-B MAE step (tools/profile_mae_step.py) vs ~2x for plain XLA
+    AD with saved residuals. Fused fwd + fallback bwd is strictly worse
+    than unfused end-to-end whenever this returns False.
+    """
+    attn_out = 4 * (4 * d * d + 3 * d + d + d + d)
+    if _attn_bwd_stack_bytes(1, l, d) + attn_out > _VMEM_BUDGET:
+        return False
+    return _mlp_bwd_plan(b, l, d, hidden, g_batch) is not None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))

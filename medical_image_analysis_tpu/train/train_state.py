@@ -166,10 +166,18 @@ def make_train_step(
     ``model``), optimizer moments are ZeRO-sharded over ``data``. XLA
     inserts the gradient all-reduce and the opt-state collectives.
     """
+    from ..ops.vit_block import training_trace
+
+    def traced_loss(*a, **k):
+        # Trace-time marker: fused-fwd/unfused-bwd path selection
+        # (ops/vit_block.py training_trace) sees this is a loss trace.
+        with training_trace():
+            return loss_fn(*a, **k)
+
     vag = (
-        jax.value_and_grad(loss_fn)
+        jax.value_and_grad(traced_loss)
         if accum_steps <= 1
-        else _accum_value_and_grad(loss_fn, accum_steps)
+        else _accum_value_and_grad(traced_loss, accum_steps)
     )
 
     def step(state: TrainState, batch, rng):

@@ -110,18 +110,33 @@ def main():
 
     @jax.jit
     def full_bwd(p, r, k):
-        return jax.value_and_grad(
-            lambda pp: model.apply(pp, pre(r), rng=k)[0])(p)[0]
+        # checksum over grads keeps the whole backward alive under DCE
+        loss, g = jax.value_and_grad(
+            lambda pp: model.apply(pp, pre(r), rng=k)[0])(p)
+        chk = sum(jnp.sum(x.astype(jnp.float32))
+                  for x in jax.tree_util.tree_leaves(g))
+        return loss + 0.0 * chk
+
+    @jax.jit
+    def train_bwd(p, r, k):
+        # deterministic=False = the recipe's train trace: TransformerBlock
+        # picks unfused XLA AD when the fused bwd can't compile.
+        loss, g = jax.value_and_grad(
+            lambda pp: model.apply(pp, pre(r), rng=k,
+                                   deterministic=False)[0])(p)
+        chk = sum(jnp.sum(x.astype(jnp.float32))
+                  for x in jax.tree_util.tree_leaves(g))
+        return loss + 0.0 * chk
 
     tx = optax.adamw(1e-4, weight_decay=0.05)
     opt = tx.init(params)
+    grads = jax.jit(jax.grad(
+        lambda pp: model.apply(pp, pre(raw), rng=rng)[0]))(params)
 
     @jax.jit
-    def step_full(p, o, r, k):
-        loss, g = jax.value_and_grad(
-            lambda pp: model.apply(pp, pre(r), rng=k)[0])(p)
+    def opt_only(g, o, p):
         up, o2 = tx.update(g, o, p)
-        return optax.apply_updates(p, up), o2, loss
+        return optax.apply_updates(p, up), o2
 
     t_enc = timeit(enc_fwd, params, raw, rng)
     report("encoder fwd", t_enc, enc_f)
@@ -129,17 +144,29 @@ def main():
     report("full fwd (enc+dec+loss)", t_fwd, enc_f + dec_f)
     report("  decoder+loss (diff)", t_fwd - t_enc, dec_f)
     t_bwd = timeit(full_bwd, params, raw, rng)
-    report("fwd+bwd", t_bwd, 3 * (enc_f + dec_f))
+    report("fwd+bwd (fused fwd)", t_bwd, 3 * (enc_f + dec_f))
     print(f"{'bwd-only (diff)':>26}: {(t_bwd - t_fwd) * 1e3:7.1f} ms "
           f"({(t_bwd - t_fwd) / t_fwd:.1f}x fwd)", flush=True)
+    t_tr = timeit(train_bwd, params, raw, rng)
+    report("fwd+bwd (train mode)", t_tr, 3 * (enc_f + dec_f))
+    t_opt = timeit(lambda: opt_only(grads, opt, params)[0])
+    print(f"{'optimizer alone':>26}: {t_opt * 1e3:7.1f} ms", flush=True)
 
-    def run_step(p, o, r, k):
-        p2, o2, loss = step_full(p, o, r, k)
-        return loss
-    t_step = timeit(lambda: run_step(params, opt, raw, rng))
-    report("full step (+AdamW)", t_step, 3 * (enc_f + dec_f))
-    print(f"{'optimizer (diff)':>26}: {(t_step - t_bwd) * 1e3:7.1f} ms",
-          flush=True)
+    # scatter suspect: VJP of take_along_axis is an XLA scatter
+    n_tok = n_patch
+    big = jnp.zeros((b, n_tok, 768), jnp.bfloat16)
+    ids = jnp.broadcast_to(jnp.arange(keep - 1), (b, keep - 1))
+
+    @jax.jit
+    def gather_grad(x):
+        f = lambda xx: jnp.sum(  # noqa: E731
+            jnp.take_along_axis(xx, ids[..., None], axis=1)
+            .astype(jnp.float32))
+        return jax.grad(f)(x).sum()
+
+    t_sc = timeit(gather_grad, big)
+    print(f"{'take_along_axis VJP':>26}: {t_sc * 1e3:7.1f} ms "
+          f"(scatter {b}x{keep - 1} rows of 768)", flush=True)
     print("DONE", flush=True)
 
 
