@@ -20,7 +20,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .llm import LLMConfig, LlamaMLP, _ancestry_decode_attn, _rope
+from .llm import (
+    LLMConfig,
+    LlamaMLP,
+    _ancestry_decode_attn,
+    _rope,
+    _split_ancestry_decode_attn,
+)
 
 
 class HybridAttention(nn.Module):
@@ -43,6 +49,30 @@ class HybridAttention(nn.Module):
         k = k.reshape(b, l, nkv, hd)
         v = v.reshape(b, l, nkv, hd)
         q_rot, k_rot = _rope(q, k, positions, cfg.rope_theta)
+
+        if layer_cache is not None and len(layer_cache) == 5:
+            # Split beam cache (llm.split_beam_cache): shared prompt
+            # segment + per-beam generated segment.
+            kp, vp, kg, vg, cur = layer_cache
+            kg = jax.lax.dynamic_update_slice(
+                kg, k_rot.astype(kg.dtype), (0, cur, 0, 0)
+            )
+            vg = jax.lax.dynamic_update_slice(
+                vg, v.astype(vg.dtype), (0, cur, 0, 0)
+            )
+            new_cache = (kp, vp, kg, vg, cur + l)
+            if nkv != nh:
+                rep = nh // nkv
+                kp, vp, kg, vg = (
+                    jnp.repeat(t, rep, axis=2) for t in (kp, vp, kg, vg)
+                )
+            mask_p, mask_g = mask
+            self_out = _split_ancestry_decode_attn(
+                q_rot, kp, vp, kg, vg, mask_p, mask_g, beam, hd
+            ).reshape(b, l, nh * hd)
+            return self._cross_merge(
+                x, q, self_out, vision, text_mask, b, l, nh, nkv, hd
+            ), new_cache
 
         if layer_cache is not None:
             ck, cv, cur = layer_cache
@@ -81,7 +111,15 @@ class HybridAttention(nn.Module):
                 "bhls,bshd->blhd", attn.astype(v_all.dtype), v_all
             ).reshape(b, l, nh * hd)
 
-        # Vision cross-attention with the SAME (un-rotated) queries.
+        return self._cross_merge(
+            x, q, self_out, vision, text_mask, b, l, nh, nkv, hd
+        ), new_cache
+
+    def _cross_merge(self, x, q, self_out, vision, text_mask, b, l, nh,
+                     nkv, hd):
+        """Vision cross-attention with the SAME (un-rotated) queries,
+        blended into ``self_out`` via the dynamic gate + o_proj."""
+        cfg = self.cfg
         kv = nn.Dense(
             2 * nkv * hd, use_bias=False, dtype=cfg.dtype,
             name="cross_attn_kv_proj",
@@ -108,10 +146,9 @@ class HybridAttention(nn.Module):
         if self.text_only_cross and text_mask is not None:
             gate = gate * text_mask[..., None].astype(gate.dtype)
         merged = self_out + gate * cross_out
-        out = nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype, name="o_proj")(
-            merged
-        )
-        return out, new_cache
+        return nn.Dense(
+            cfg.dim, use_bias=False, dtype=cfg.dtype, name="o_proj"
+        )(merged)
 
 
 class HybridDecoderLayer(nn.Module):
@@ -185,7 +222,24 @@ class HybridTransformerLM(nn.Module):
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(l), (b, l))
 
-        if cache is not None:
+        if cache is not None and len(cache[0]) == 5:
+            # Split beam cache — see models/llm.py TransformerLM.
+            assert l == 1 and beam is not None
+            sp = cache[0][0].shape[1]
+            sg = cache[0][2].shape[1]
+            cur = cache[0][4]
+            bp = cache[0][0].shape[0]
+            if cache_mask is not None:
+                mask_p = jnp.where(
+                    cache_mask[:, None, None, :sp] > 0, 0.0, -jnp.inf
+                )
+            else:
+                mask_p = jnp.zeros((bp, 1, 1, sp))
+            mask_g = jnp.where(
+                jnp.arange(sg)[None, None, None, :] <= cur, 0.0, -jnp.inf
+            )
+            mask = (mask_p, mask_g)
+        elif cache is not None:
             cur = cache[0][2]
             s = cache[0][0].shape[1]
             kpos = jnp.arange(s)[None, None, :]

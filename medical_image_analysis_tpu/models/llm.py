@@ -124,6 +124,28 @@ class LlamaAttention(nn.Module):
         v = v.reshape(b, l, nkv, hd)
         q, k = _rope(q, k, positions, cfg.rope_theta)
 
+        if layer_cache is not None and len(layer_cache) == 5:
+            # Split beam cache: group-shared prompt segment + per-beam
+            # generated segment (see split_beam_cache). Decode-only.
+            kp, vp, kg, vg, cur = layer_cache
+            kg = jax.lax.dynamic_update_slice(
+                kg, k.astype(kg.dtype), (0, cur, 0, 0)
+            )
+            vg = jax.lax.dynamic_update_slice(
+                vg, v.astype(vg.dtype), (0, cur, 0, 0)
+            )
+            new_cache = (kp, vp, kg, vg, cur + l)
+            if nkv != nh:
+                rep = nh // nkv
+                kp, vp, kg, vg = (
+                    jnp.repeat(t, rep, axis=2) for t in (kp, vp, kg, vg)
+                )
+            mask_p, mask_g = mask
+            out = _split_ancestry_decode_attn(
+                q, kp, vp, kg, vg, mask_p, mask_g, beam, hd
+            ).reshape(b, l, nh * hd)
+            return _dense(cfg, cfg.dim, "o_proj")(out), new_cache
+
         if layer_cache is not None:
             ck, cv, cur = layer_cache  # (B, max_len, nkv, hd) x2, scalar
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cur, 0, 0))
@@ -203,6 +225,54 @@ def _ancestry_decode_attn(q, k_all, v_all, mask, beam, hd):
     return out.reshape(r, 1, nh, hd)
 
 
+def _split_ancestry_decode_attn(q, kp, vp, kg, vg, mask_p, mask_g, anc, hd):
+    """Beam decode attention over a SPLIT cache: prompt K/V stored once
+    per batch item (shared by the whole beam group — it is identical
+    across beams), generated K/V per beam row with ancestry resolution
+    (:func:`_ancestry_decode_attn`).
+
+    Per-step KV HBM traffic drops from nb*(Sp+Sg) to Sp + nb*Sg
+    slot-rows per group (~47% less at the serving config Sp=206,
+    Sg=100, nb=3 — on top of the reorder elimination), and prefill
+    runs on B rows instead of B*nb. Softmax over the concatenated
+    [prompt | generated] score axis — identical distribution to the
+    joint cache.
+
+    q (R,1,nh,hd); kp/vp (B,Sp,nh,hd); kg/vg (R,Sg,nh,hd);
+    mask_p (B,1,1,Sp), mask_g (1,1,1,Sg) additive; anc (B,nb,Sg).
+    """
+    bb, nb = anc.shape[0], anc.shape[1]
+    sp, sg = kp.shape[1], kg.shape[1]
+    nh = q.shape[2]
+    qg = q[:, 0].reshape(bb, nb, nh, hd)
+    sc_p = jnp.einsum(
+        "bihd,bshd->bhis", qg, kp, preferred_element_type=jnp.float32
+    ) * hd**-0.5
+    sc_p = sc_p + mask_p.reshape(bb, 1, 1, sp)
+    kgg = kg.reshape(bb, nb, sg, nh, hd)
+    sall = jnp.einsum(
+        "bihd,bjshd->bhijs", qg, kgg, preferred_element_type=jnp.float32
+    ) * hd**-0.5
+    sel = (
+        anc[:, :, None, :]
+        == jnp.arange(nb, dtype=anc.dtype)[None, None, :, None]
+    )  # (B, i, j, s)
+    sc_g = jnp.sum(jnp.where(sel[:, None], sall, 0.0), axis=3)
+    sc_g = sc_g + mask_g.reshape(1, 1, 1, sg)
+    p = jax.nn.softmax(jnp.concatenate([sc_p, sc_g], axis=-1), axis=-1)
+    pp, pg = p[..., :sp], p[..., sp:]
+    out_p = jnp.einsum(
+        "bhis,bshd->bihd", pp.astype(vp.dtype), vp,
+        preferred_element_type=jnp.float32,
+    )
+    vgg = vg.reshape(bb, nb, sg, nh, hd)
+    pj = jnp.where(sel[:, None], pg[:, :, :, None, :], 0.0).astype(vg.dtype)
+    out_g = jnp.einsum(
+        "bhijs,bjshd->bihd", pj, vgg, preferred_element_type=jnp.float32
+    )
+    return (out_p + out_g).astype(q.dtype).reshape(bb * nb, 1, nh, hd)
+
+
 class LlamaMLP(nn.Module):
     cfg: LLMConfig
 
@@ -280,7 +350,27 @@ class TransformerLM(nn.Module):
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(l), (b, l))
 
-        if cache is not None:
+        if cache is not None and len(cache[0]) == 5:
+            # Split beam cache (split_beam_cache): (mask_p, mask_g)
+            # tuple — prompt segment fully valid (modulo cache_mask
+            # padding, (B_group, Sp)), generated segment causal over
+            # gen-relative slots.
+            assert l == 1 and beam is not None
+            sp = cache[0][0].shape[1]
+            sg = cache[0][2].shape[1]
+            cur = cache[0][4]
+            bp = cache[0][0].shape[0]
+            if cache_mask is not None:
+                mask_p = jnp.where(
+                    cache_mask[:, None, None, :sp] > 0, 0.0, -jnp.inf
+                )
+            else:
+                mask_p = jnp.zeros((bp, 1, 1, sp))
+            mask_g = jnp.where(
+                jnp.arange(sg)[None, None, None, :] <= cur, 0.0, -jnp.inf
+            )
+            mask = (mask_p, mask_g)
+        elif cache is not None:
             cur = cache[0][2]
             s = cache[0][0].shape[1]
             kpos = jnp.arange(s)[None, None, :]  # (1, 1, S)
@@ -336,3 +426,20 @@ def init_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=None):
 def reorder_cache(cache, beam_idx: jax.Array):
     """Gather cache rows along batch for beam search."""
     return [(k[beam_idx], v[beam_idx], cur) for k, v, cur in cache]
+
+
+def split_beam_cache(prompt_cache, num_beams: int, gen_slots: int):
+    """Promote a B-row prefill cache to the split beam layout.
+
+    The prompt K/V tensors are kept as-is (ONE row per batch item,
+    shared read-only by the whole beam group — beams are identical over
+    the prompt, so per-beam copies are pure HBM waste) and an empty
+    per-beam generated segment of ``gen_slots`` is attached. Use with
+    ``beam=`` ancestry decode (``_split_ancestry_decode_attn``).
+    """
+    out = []
+    for ck, cv, _cur in prompt_cache:
+        b, _sp, h, d = ck.shape
+        kg = jnp.zeros((b * num_beams, gen_slots, h, d), ck.dtype)
+        out.append((ck, cv, kg, jnp.zeros_like(kg), jnp.int32(0)))
+    return out

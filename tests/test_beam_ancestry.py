@@ -116,6 +116,72 @@ def test_beam_tokens_match_reorder_path(rep_penalty):
     )
 
 
+def test_split_cache_matches_reorder_path():
+    """Shared-prompt split cache (llm.split_beam_cache +
+    _split_ancestry_decode_attn): B-row prefill + per-beam generated
+    segment must reproduce the replicated-prompt reorder path's tokens."""
+    from medical_image_analysis_tpu.models.llm import split_beam_cache
+
+    cfg = LLM_CONFIGS["tiny_test"]
+    model = TransformerLM(cfg)
+    batch, nb, lp, new = 2, 3, 6, 10
+    rows = batch * nb
+    ids = jax.random.randint(jax.random.PRNGKey(7), (batch, lp), 0,
+                             cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(8), ids)
+
+    def run_reorder():
+        ids_r = jnp.repeat(ids, nb, axis=0)
+        cache = init_cache(cfg, rows, lp + new)
+        pos = jnp.broadcast_to(jnp.arange(lp), (rows, lp))
+        first, cache = model.apply(
+            params, input_ids=ids_r, positions=pos, cache=cache
+        )
+
+        def step(tokens, cache, t):
+            pos = jnp.full((tokens.shape[0], 1), lp) + t
+            logits, cache = model.apply(
+                params, input_ids=tokens, positions=pos, cache=cache
+            )
+            return logits[:, 0], cache
+
+        return beam_generate(
+            step, cache, first[:, -1], batch=batch, num_beams=nb,
+            max_new_tokens=new, eos_id=2, min_new_tokens=3,
+            repetition_penalty=2.0, length_penalty=2.0,
+            reorder_cache_fn=reorder_cache,
+        )
+
+    def run_split():
+        cache = init_cache(cfg, batch, lp)  # B-row prefill
+        pos = jnp.broadcast_to(jnp.arange(lp), (batch, lp))
+        first, cache = model.apply(
+            params, input_ids=ids, positions=pos, cache=cache
+        )
+        cache = split_beam_cache(cache, nb, new)
+        first = jnp.repeat(first[:, -1], nb, axis=0)
+
+        def step_anc(tokens, cache, anc, t):
+            pos = jnp.full((tokens.shape[0], 1), lp) + t
+            logits, cache = model.apply(
+                params, input_ids=tokens, positions=pos, cache=cache,
+                beam=anc.reshape(batch, nb, -1),
+            )
+            return logits[:, 0], cache
+
+        return beam_generate(
+            step_anc, cache, first, batch=batch, num_beams=nb,
+            max_new_tokens=new, eos_id=2, min_new_tokens=3,
+            repetition_penalty=2.0, length_penalty=2.0,
+            ancestry_slots=new, prompt_len=0,
+        )
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(run_reorder)()),
+        np.asarray(jax.jit(run_split)()),
+    )
+
+
 def test_hybrid_decoder_beam_ancestry_matches_reorder():
     """EMRRG's hybrid gated decoder: ancestry mode == reorder mode."""
     from medical_image_analysis_tpu.models.hybrid_decoder import (
