@@ -64,24 +64,63 @@ def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+class _DenseParams(nn.Module):
+    """nn.Dense-shaped params (same names/init) exposed as raw tensors
+    so the fused kernel path can consume them directly."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
+class _LNParams(nn.Module):
+    """nn.LayerNorm-shaped params (scale/bias) as raw tensors."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        return (
+            self.param("scale", nn.initializers.ones, (dim,)),
+            self.param("bias", nn.initializers.zeros, (dim,)),
+        )
+
+
 class WindowAttention(nn.Module):
+    """Takes PRE-norm windows + the block's norm1 params and returns
+    ``windows + attn_delta`` (residual included), so the fused Pallas
+    kernel (ops/swin_block.py — LN+qkv+attn+bias/mask+proj+residual in
+    one launch) and the unfused XLA path are drop-in equals. LN commutes
+    with roll/partition (both permute tokens), so normalizing inside the
+    window layout is exact."""
+
     dim: int
     num_heads: int
     window_size: int
     qkv_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+    def __call__(self, x: jax.Array, mask: jax.Array | None, ln,
+                 fused: bool = False) -> jax.Array:
+        from ..ops.swin_block import fused_swin_attn_block
+
         bn, l, c = x.shape
         nh = self.num_heads
         hd = self.dim // nh
-        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, name="qkv")(x)
-        q, k, v = jnp.split(qkv.reshape(bn, l, 3, nh, hd), 3, axis=2)
-        q = q[:, :, 0].transpose(0, 2, 1, 3)  # (bn, nh, l, hd)
-        k = k[:, :, 0].transpose(0, 2, 1, 3)
-        v = v[:, :, 0].transpose(0, 2, 1, 3)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * hd**-0.5
-
+        qkv_w, qkv_b = _DenseParams(
+            3 * self.dim, self.qkv_bias, name="qkv"
+        )(c)
+        proj_w, proj_b = _DenseParams(self.dim, name="proj")(self.dim)
         ws = self.window_size
         bias_table = self.param(
             "relative_position_bias_table",
@@ -89,8 +128,39 @@ class WindowAttention(nn.Module):
             ((2 * ws - 1) ** 2, nh),
         )
         idx = _relative_position_index(ws)
-        bias = bias_table[idx.reshape(-1)].reshape(l, l, nh)
-        attn = attn + bias.transpose(2, 0, 1)[None]
+        bias = (
+            bias_table[idx.reshape(-1)].reshape(l, l, nh).transpose(2, 0, 1)
+        )
+        ln_g, ln_b = ln
+
+        if fused:
+            dt = x.dtype
+            mask_arr = (
+                jnp.asarray(mask, jnp.float32)
+                if mask is not None
+                else jnp.zeros((1, l, l), jnp.float32)
+            )
+            return fused_swin_attn_block(
+                x, qkv_w.astype(dt),
+                qkv_b.astype(dt) if qkv_b is not None
+                else jnp.zeros((3 * self.dim,), dt),
+                proj_w.astype(dt), proj_b.astype(dt),
+                ln_g.astype(dt), ln_b.astype(dt),
+                bias.astype(jnp.float32), mask_arr, nh,
+            )
+
+        from ..ops.vit_block import _ln
+
+        h = _ln(x, ln_g, ln_b, 1e-5).astype(x.dtype)
+        qkv = (h @ qkv_w.astype(h.dtype)) + (
+            qkv_b.astype(h.dtype) if qkv_b is not None else 0.0
+        )
+        q, k, v = jnp.split(qkv.reshape(bn, l, 3, nh, hd), 3, axis=2)
+        q = q[:, :, 0].transpose(0, 2, 1, 3)  # (bn, nh, l, hd)
+        k = k[:, :, 0].transpose(0, 2, 1, 3)
+        v = v[:, :, 0].transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * hd**-0.5
+        attn = attn + bias[None].astype(attn.dtype)
         if mask is not None:
             nw = mask.shape[0]
             attn = attn.reshape(bn // nw, nw, nh, l, l) + mask[None, :, None]
@@ -98,7 +168,9 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(bn, l, c)
-        return nn.Dense(self.dim, name="proj")(out)
+        return x + (
+            out @ proj_w.astype(out.dtype) + proj_b.astype(out.dtype)
+        ).astype(x.dtype)
 
 
 class SwinBlock(nn.Module):
@@ -111,11 +183,23 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        from ..ops.vit_block import in_training_trace
+
         b, h, w, c = x.shape
         ws = min(self.window_size, h, w)
         shift = self.shift if ws < min(h, w) else 0
+        # Fused Pallas window-attention for inference traces on TPU;
+        # training uses the unfused XLA path so AD saves residuals (the
+        # fused-fwd + recompute-bwd trap measured in ops/vit_block.py).
+        fused = (
+            jax.default_backend() == "tpu"
+            and deterministic
+            and not in_training_trace()
+            and not self.is_initializing()
+        )
 
-        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        ln1 = _LNParams(name="norm1")(c)
+        y = x
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
         windows = window_partition(y, ws)
@@ -124,13 +208,17 @@ class SwinBlock(nn.Module):
             if shift > 0
             else None
         )
-        attn = WindowAttention(
+        wout = WindowAttention(
             self.dim, self.num_heads, ws, name="attn"
-        )(windows, mask)
-        y = window_reverse(attn, ws, h, w)
+        )(windows, mask, ln1, fused)
+        y = window_reverse(wout, ws, h, w)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
-        x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
+        # wout included the residual in window layout; recover the
+        # delta so DropPath scales only the branch.
+        x = x + DropPath(self.drop_path, name="drop_path1")(
+            y - x, deterministic
+        )
 
         y = Mlp(int(self.dim * self.mlp_ratio), name="mlp")(
             nn.LayerNorm(epsilon=1e-5, name="norm2")(x), deterministic

@@ -108,11 +108,14 @@ def _attn_block_kernel(
 
 
 def _mlp_block_kernel(
-    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref, o_ref
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref, o_ref, *,
+    eps=1e-6,
 ):
     x = x_ref[:]
     gb, l, d = x.shape
-    h = _ln(x, g_ref[0][None, None], b_ref[0][None, None]).astype(x.dtype)
+    h = _ln(
+        x, g_ref[0][None, None], b_ref[0][None, None], eps
+    ).astype(x.dtype)
     hidden = jax.lax.dot_general(
         h.reshape(gb * l, d), w1_ref[:],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -141,8 +144,8 @@ def _attn_unfused(x, wqkv, bqkv, wo, bo, g, b, heads):
     return x + (o.reshape(*x.shape) @ wo + bo).astype(x.dtype)
 
 
-def _mlp_unfused(x, w1, b1, w2, b2, g, b):
-    h = _ln(x, g, b).astype(x.dtype)
+def _mlp_unfused(x, w1, b1, w2, b2, g, b, eps=1e-6):
+    h = _ln(x, g, b, eps).astype(x.dtype)
     hidden = jax.nn.gelu((h @ w1 + b1).astype(jnp.float32), approximate=True)
     return x + (hidden.astype(x.dtype) @ w2 + b2).astype(x.dtype)
 
@@ -157,12 +160,12 @@ def _gelu_tanh_grad(x):
     )
 
 
-def _ln_fwd32(x2, g_ref, b_ref):
+def _ln_fwd32(x2, g_ref, b_ref, eps=1e-6):
     """LN recompute in fp32 on (rows, D): returns (xhat, inv_sigma, h32)."""
     x32 = x2.astype(jnp.float32)
     mu = x32.mean(-1, keepdims=True)
     var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
-    inv = jax.lax.rsqrt(var + 1e-6)
+    inv = jax.lax.rsqrt(var + eps)
     xhat = (x32 - mu) * inv
     g32 = g_ref[0].astype(jnp.float32)
     h32 = xhat * g32[None] + b_ref[0].astype(jnp.float32)[None]
@@ -216,7 +219,7 @@ def _acc_dyn(ref, idx, val, first):
 def _mlp_block_bwd_kernel(
     x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref, dy_ref,
     dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbl_ref,
-    *, hc,
+    *, hc, eps=1e-6,
 ):
     # The hidden dimension is processed in hc-column chunks inside a
     # fori_loop (NOT a Python loop: Mosaic allocates each unrolled
@@ -229,7 +232,9 @@ def _mlp_block_bwd_kernel(
     x = x_ref[:]
     gb, l, d = x.shape
     hidden = w1_ref.shape[1]
-    xhat, inv, g32, h32 = _ln_fwd32(x.reshape(gb * l, d), g_ref, b_ref)
+    xhat, inv, g32, h32 = _ln_fwd32(
+        x.reshape(gb * l, d), g_ref, b_ref, eps
+    )
     h = h32.astype(x.dtype)
     dy = dy_ref[:].reshape(gb * l, d)
     _acc(db2_ref, jnp.sum(dy.astype(jnp.float32), axis=0)[None])
@@ -573,26 +578,28 @@ def _fab_bwd(heads, g_batch, interpret, res, dy):
 fused_attn_block.defvjp(_fab_fwd, _fab_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def fused_mlp_block(x, w1, b1, w2, b2, ln_g, ln_b, g_batch=2,
-                    interpret=None):
+                    interpret=None, eps=1e-6):
     if interpret is None:
         interpret = _interpret_default()
     l, d = x.shape[1], x.shape[2]
     hidden = w1.shape[1]
     return _block_call(
-        _mlp_block_kernel, x, (w1, b1, w2, b2, ln_g, ln_b), {},
+        _mlp_block_kernel, x, (w1, b1, w2, b2, ln_g, ln_b),
+        {"eps": eps},
         g_batch, interpret,
         stack_bytes=lambda gb: _mlp_stack_bytes(gb, l, d, hidden),
     )
 
 
-def _fmb_fwd(x, w1, b1, w2, b2, ln_g, ln_b, g_batch, interpret):
-    y = fused_mlp_block(x, w1, b1, w2, b2, ln_g, ln_b, g_batch, interpret)
+def _fmb_fwd(x, w1, b1, w2, b2, ln_g, ln_b, g_batch, interpret, eps):
+    y = fused_mlp_block(x, w1, b1, w2, b2, ln_g, ln_b, g_batch, interpret,
+                        eps)
     return y, (x, w1, b1, w2, b2, ln_g, ln_b)
 
 
-def _fmb_bwd(g_batch, interpret, res, dy):
+def _fmb_bwd(g_batch, interpret, eps, res, dy):
     x, w1, b1, w2, b2, ln_g, ln_b = res
     if interpret is None:
         interpret = _interpret_default()
@@ -600,13 +607,16 @@ def _fmb_bwd(g_batch, interpret, res, dy):
     hidden = w1.shape[1]
     plan = _mlp_bwd_plan(b, l, d, hidden, g_batch)
     if _use_xla_bwd() or (not interpret and plan is None):
-        _, vjp = jax.vjp(_mlp_unfused, x, w1, b1, w2, b2, ln_g, ln_b)
+        _, vjp = jax.vjp(
+            lambda *a: _mlp_unfused(*a, eps=eps),
+            x, w1, b1, w2, b2, ln_g, ln_b,
+        )
         return vjp(dy)
     gb, hc = plan if plan is not None else (g_batch, hidden)
     dx, wg = _bwd_call(
         _mlp_block_bwd_kernel, x, (w1, b1, w2, b2, ln_g, ln_b), dy,
         [w1.shape, b1.shape, w2.shape, b2.shape, ln_g.shape, ln_b.shape],
-        {"hc": hc}, gb, interpret,
+        {"hc": hc, "eps": eps}, gb, interpret,
     )
     prim = (w1, b1, w2, b2, ln_g, ln_b)
     return (dx, *(g.astype(p.dtype) for g, p in zip(wg, prim)))

@@ -113,3 +113,50 @@ def test_compiled_vit_block_matches_unfused():
             np.asarray(gf, np.float32), np.asarray(gp, np.float32),
             rtol=5e-2, atol=5e-3,
         )
+
+
+def test_compiled_swin_window_attn_matches_unfused():
+    """Mosaic-compiled fused Swin window attention (round 3) vs the XLA
+    path, masked (shifted, mask index-map cycling) and unmasked."""
+    from medical_image_analysis_tpu.models.swin import _shift_attn_mask
+    from medical_image_analysis_tpu.ops.swin_block import (
+        _swin_attn_unfused,
+        fused_swin_attn_block,
+    )
+
+    rng = np.random.default_rng(3)
+    h = w = 14
+    ws, shift, heads, d = 7, 3, 4, 128
+    nw = (h // ws) * (w // ws)
+    l = ws * ws
+    x = jnp.asarray(
+        rng.standard_normal((2 * nw, l, d)).astype(jnp.bfloat16)
+    )
+    args = [
+        jnp.asarray(a.astype(np.float32)).astype(jnp.bfloat16)
+        for a in (
+            rng.standard_normal((d, 3 * d)) * 0.05,
+            rng.standard_normal(3 * d) * 0.02,
+            rng.standard_normal((d, d)) * 0.05,
+            rng.standard_normal(d) * 0.02,
+            1 + 0.1 * rng.standard_normal(d),
+            0.1 * rng.standard_normal(d),
+        )
+    ]
+    bias = jnp.asarray(
+        rng.standard_normal((heads, l, l)) * 0.1, jnp.float32
+    )
+    for mask in (
+        jnp.zeros((1, l, l), jnp.float32),
+        jnp.asarray(_shift_attn_mask(h, w, ws, shift)),
+    ):
+        y_f = jax.jit(
+            lambda xx, m=mask: fused_swin_attn_block(
+                xx, *args, bias, m, heads, 1e-5, 2
+            )
+        )(x)
+        y_p = _swin_attn_unfused(x, *args, bias, mask, heads)
+        np.testing.assert_allclose(
+            np.asarray(y_f, np.float32), np.asarray(y_p, np.float32),
+            rtol=5e-2, atol=5e-2,
+        )
