@@ -121,20 +121,30 @@ def build_am_banks(
     :func:`..utils.cam.build_visual_memory`; text-embedded reports +
     rule labels -> :func:`..utils.cam.build_report_memory`.
     """
-    if visual_bank_path and report_bank_path:
-        return _load_array(visual_bank_path), _load_array(report_bank_path)
-
     from ..models.swin import SwinCheX, SwinTransformer
 
     rng = np.random.default_rng(seed)
-    # -- report memory ------------------------------------------------
-    reports = [s.report for s in samples[: 4 * report_memory_size]]
-    embs = embed_texts(reports)
-    labels = np.stack([extract_labels(r) for r in reports])
-    rbank = build_report_memory(
-        embs, labels, size=report_memory_size, seed=seed
-    )
-    rbank = _project(rbank, bank_dim, rng)
+    # Each bank path is honored independently — a provided real
+    # artifact must never be silently replaced by a synthesized one.
+    rbank = vbank = None
+    if report_bank_path:
+        rbank = _load_array(report_bank_path)
+    if visual_bank_path:
+        vbank = _load_array(visual_bank_path)
+    if rbank is not None and vbank is not None:
+        return vbank, rbank
+
+    if rbank is None:
+        # -- report memory --------------------------------------------
+        reports = [s.report for s in samples[: 4 * report_memory_size]]
+        embs = embed_texts(reports)
+        labels = np.stack([extract_labels(r) for r in reports])
+        rbank = build_report_memory(
+            embs, labels, size=report_memory_size, seed=seed
+        )
+        rbank = _project(rbank, bank_dim, rng)
+    if vbank is not None:
+        return vbank.astype(np.float32), rbank.astype(np.float32)
 
     # -- visual memory (stage-1 CAM chain) ----------------------------
     kw = dict(embed_dim=16, depths=(1, 1), num_heads=(2, 2), window_size=4,

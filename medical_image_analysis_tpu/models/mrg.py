@@ -188,14 +188,16 @@ class MRGMixin:
             }
 
         def step(tokens, cache, t):
-            pos = jnp.full((tokens.shape[0], 1), lp) + t
+            # body t consumes the token picked at step t-1, which sits
+            # at absolute position lp + t - 1 (cache slot == position).
+            pos = jnp.full((tokens.shape[0], 1), lp) + t - 1
             logits, cache = self.llm(
                 input_ids=tokens, positions=pos, cache=cache, **llm_kwargs
             )
             return logits[:, 0], cache
 
         def step_anc(tokens, cache, anc, t):
-            pos = jnp.full((tokens.shape[0], 1), lp) + t
+            pos = jnp.full((tokens.shape[0], 1), lp) + t - 1
             logits, cache = self.llm(
                 input_ids=tokens, positions=pos, cache=cache,
                 beam=anc.reshape(b, nb, -1), **llm_kwargs

@@ -183,7 +183,7 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        from ..ops.vit_block import in_training_trace
+        from ..ops.vit_block import in_training_trace, tpu_is_target
 
         b, h, w, c = x.shape
         ws = min(self.window_size, h, w)
@@ -192,7 +192,7 @@ class SwinBlock(nn.Module):
         # training uses the unfused XLA path so AD saves residuals (the
         # fused-fwd + recompute-bwd trap measured in ops/vit_block.py).
         fused = (
-            jax.default_backend() == "tpu"
+            tpu_is_target()
             and deterministic
             and not in_training_trace()
             and not self.is_initializing()

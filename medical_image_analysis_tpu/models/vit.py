@@ -98,13 +98,14 @@ class TransformerBlock(nn.Module):
             fused_bwd_fits,
             fused_mlp_block,
             in_training_trace,
+            tpu_is_target,
         )
 
         dt = x.dtype
         w = lambda p: p.astype(dt)  # noqa: E731
         use_fused = self.fused
         if use_fused is None:
-            use_fused = jax.default_backend() == "tpu"
+            use_fused = tpu_is_target()
         if self.drop_path > 0 and not deterministic:
             use_fused = False
         if self.is_initializing():

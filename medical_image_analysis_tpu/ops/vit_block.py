@@ -27,8 +27,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
+def tpu_is_target() -> bool:
+    """True when new traces will execute on the TPU backend.
+
+    The fused-kernel gates must NOT enable Mosaic kernels for
+    computations pinned to another device: under
+    ``jax.default_device(cpu)`` on a TPU host (e.g. the side-input
+    synthesis in ``data/side_inputs.py``) ``jax.default_backend()``
+    still reports "tpu", but lowering a Pallas TPU kernel for the CPU
+    device fails.
+    """
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def _interpret_default() -> bool:
-    return jax.default_backend() != "tpu"
+    return not tpu_is_target()
 
 
 _train_trace = threading.local()
@@ -407,6 +423,13 @@ def _block_call(kernel, x, weights, extra_kwargs, g_batch, interpret,
     )(x, *ws)
 
 
+def _attn_bwd_out_bytes(d):
+    # fp32 weight-grad outputs (dwqkv+dbqkv+dwo+dbo+dg+db) resident in
+    # scoped VMEM across the sequential grid — single source of truth
+    # for BOTH the _fab_bwd branch choice and fused_bwd_fits' gate.
+    return 4 * (4 * d * d + 3 * d + d + d + d)
+
+
 def _attn_bwd_stack_bytes(gb, l, d):
     # bwd holds q/k/v + dq/dk/dv lists + fp32 p/dp/ds per head; the
     # per-head score tensors dominate at long L.
@@ -517,8 +540,7 @@ def fused_bwd_fits(b: int, l: int, d: int, hidden: int,
     AD with saved residuals. Fused fwd + fallback bwd is strictly worse
     than unfused end-to-end whenever this returns False.
     """
-    attn_out = 4 * (4 * d * d + 3 * d + d + d + d)
-    if _attn_bwd_stack_bytes(1, l, d) + attn_out > _VMEM_BUDGET:
+    if _attn_bwd_stack_bytes(1, l, d) + _attn_bwd_out_bytes(d) > _VMEM_BUDGET:
         return False
     return _mlp_bwd_plan(b, l, d, hidden, g_batch) is not None
 
@@ -553,7 +575,7 @@ def _fab_bwd(heads, g_batch, interpret, res, dy):
     # batch block exceeds the Mosaic scoped-vmem limit (ViT-B d=768, or
     # the MAE decoder at L=577 — prime, so rows can't split), the
     # compiled kernel is impossible and the XLA vjp takes over.
-    attn_out = 4 * (4 * d * d + 3 * d + d + d + d)
+    attn_out = _attn_bwd_out_bytes(d)
     oversize = not interpret and (
         _attn_bwd_stack_bytes(1, l, d) + attn_out > _VMEM_BUDGET
     )

@@ -726,17 +726,21 @@ def fit_classify(cfg: RunConfig) -> dict:
                 if state.ema_params is not None and t.ema_decay > 0
                 else state.params
             )
+            vb = batcher("val")
             all_logits, all_labels = [], []
-            for batch in batcher("val").batches(shuffle=False,
-                                                drop_last=False):
+            for batch in vb.batches(shuffle=False, drop_last=False):
                 all_logits.append(np.asarray(
                     logits_fn(eval_params, jnp.asarray(batch["images"][:, 0]))
                 ))
                 all_labels.append(np.stack(
                     [extract_labels(r) for r in batch["reports"]]
                 ))
-            logits = np.concatenate(all_logits)
-            labels = np.concatenate(all_labels)
+            # the final batch is padded by repeating its last sample;
+            # keep exactly one row per val sample or the metrics are
+            # biased toward the duplicates.
+            n_val = len(vb.samples)
+            logits = np.concatenate(all_logits)[:n_val]
+            labels = np.concatenate(all_labels)[:n_val]
             if head_kind == "twoway":
                 # (N, C, 2) softmax heads: positive-class probability.
                 e = np.exp(logits - logits.max(-1, keepdims=True))
@@ -913,13 +917,31 @@ def fit_lm_sft(cfg: RunConfig) -> dict:
         if (epoch + 1) % t.save_state_every_epochs == 0:
             save_train_state(t.save_dir, state, epoch, keep=t.keep_states)
         if (epoch + 1) % t.val_every_epochs == 0:
-            losses = [
-                float(eval_loss_fn(state.params, _device_batch(b, None)))
-                for b in batcher("val", extra_fn=lm_extra).batches(
-                    shuffle=False, drop_last=False
+            vb = batcher("val", extra_fn=lm_extra)
+            n_val = len(vb.samples)
+            losses, seen = [], 0
+            for b in vb.batches(shuffle=False, drop_last=False):
+                arrays = {k: v for k, v in b.items()
+                          if isinstance(v, np.ndarray)}
+                bsz = next(iter(arrays.values())).shape[0]
+                real = min(bsz, n_val - seen)
+                seen += bsz
+                if real <= 0:
+                    break
+                if real < bsz:
+                    # final batch pads by repeating its tail row — slice
+                    # the duplicates off (one extra compile, exact mean)
+                    arrays = {k: v[:real] for k, v in arrays.items()}
+                losses.append(
+                    (float(eval_loss_fn(state.params,
+                                        _device_batch(arrays, None))),
+                     real)
                 )
-            ]
-            val_loss = float(np.mean(losses)) if losses else float("nan")
+            val_loss = (
+                float(sum(l * w for l, w in losses)
+                      / max(sum(w for _, w in losses), 1))
+                if losses else float("nan")
+            )
             results = {"val_loss": val_loss,
                        "val_ppl": float(np.exp(min(val_loss, 20.0)))}
             logger.write({"epoch": epoch, **results})

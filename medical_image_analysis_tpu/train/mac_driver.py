@@ -19,7 +19,6 @@ from __future__ import annotations
 import dataclasses
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..ckpt.checkpoint import load_delta, merge_delta
@@ -27,7 +26,12 @@ from ..configs.config import RunConfig
 from ..evalx.chexbert import clinical_efficacy
 from ..evalx.nlg import compute_nlg_scores
 from ..models.mac_rrg import MACRRG
-from .loop import build_data, build_mrg_model, make_task_adapter
+from .loop import (
+    _device_batch,
+    build_data,
+    build_mrg_model,
+    make_task_adapter,
+)
 
 
 def refine_mac_rrg(
@@ -84,7 +88,7 @@ def refine_mac_rrg(
             rag_embeds=np.zeros((b, *rag_shape), np.float32),
             concept_embeds=np.zeros((b, *con_shape), np.float32),
         )
-        out = np.asarray(gen_fn(params, _arrays(work)))
+        out = np.asarray(gen_fn(params, _device_batch(work, None)))
         drafts = [tok.decode(out[i]) for i in range(b)]
         for i, sid in enumerate(batch["ids"]):
             gts[sid] = [batch["reports"][i]]
@@ -97,7 +101,7 @@ def refine_mac_rrg(
                 r, c = ctx.agent_embeds(d or "none")
                 rag[i], con[i] = r, c
             work = dict(batch, rag_embeds=rag, concept_embeds=con)
-            out = np.asarray(gen_fn(params, _arrays(work)))
+            out = np.asarray(gen_fn(params, _device_batch(work, None)))
             drafts = [tok.decode(out[i]) for i in range(b)]
         for i, sid in enumerate(batch["ids"]):
             refined_res[sid] = [drafts[i]]
@@ -114,8 +118,3 @@ def refine_mac_rrg(
     }
 
 
-def _arrays(batch: dict) -> dict:
-    return {
-        k: jnp.asarray(v) for k, v in batch.items()
-        if isinstance(v, np.ndarray)
-    }

@@ -24,10 +24,17 @@ def swin_grad_cam(model, params, images: jax.Array, class_idx: int):
     """
     from ..models.swin import SwinCheX
 
+    from ..ops.vit_block import training_trace
+
     tokens = model.apply(params, images, method=SwinCheX.tokens)
 
     def positive_logit(tok):
-        logits = model.apply(params, tok, method=SwinCheX.logits_from_tokens)
+        # training_trace: grads flow through this apply — fused blocks
+        # must pick the AD-friendly unfused path (ops/vit_block.py).
+        with training_trace():
+            logits = model.apply(
+                params, tok, method=SwinCheX.logits_from_tokens
+            )
         return logits[:, class_idx, 1].sum()
 
     grads = jax.grad(positive_logit)(tokens)  # (B, L, C)

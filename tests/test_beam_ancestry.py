@@ -85,14 +85,14 @@ def test_beam_tokens_match_reorder_path(rep_penalty):
         )
 
         def step(tokens, cache, t):
-            pos = jnp.full((tokens.shape[0], 1), lp) + t
+            pos = jnp.full((tokens.shape[0], 1), lp) + t - 1
             logits, cache = model.apply(
                 params, input_ids=tokens, positions=pos, cache=cache
             )
             return logits[:, 0], cache
 
         def step_anc(tokens, cache, anc, t):
-            pos = jnp.full((tokens.shape[0], 1), lp) + t
+            pos = jnp.full((tokens.shape[0], 1), lp) + t - 1
             logits, cache = model.apply(
                 params, input_ids=tokens, positions=pos, cache=cache,
                 beam=anc.reshape(batch, nb, -1),
@@ -139,7 +139,7 @@ def test_split_cache_matches_reorder_path():
         )
 
         def step(tokens, cache, t):
-            pos = jnp.full((tokens.shape[0], 1), lp) + t
+            pos = jnp.full((tokens.shape[0], 1), lp) + t - 1
             logits, cache = model.apply(
                 params, input_ids=tokens, positions=pos, cache=cache
             )
@@ -162,7 +162,7 @@ def test_split_cache_matches_reorder_path():
         first = jnp.repeat(first[:, -1], nb, axis=0)
 
         def step_anc(tokens, cache, anc, t):
-            pos = jnp.full((tokens.shape[0], 1), lp) + t
+            pos = jnp.full((tokens.shape[0], 1), lp) + t - 1
             logits, cache = model.apply(
                 params, input_ids=tokens, positions=pos, cache=cache,
                 beam=anc.reshape(batch, nb, -1),
@@ -208,7 +208,7 @@ def test_hybrid_decoder_beam_ancestry_matches_reorder():
         )
 
         def step(tokens, cache, t):
-            pos = jnp.full((tokens.shape[0], 1), lp) + t
+            pos = jnp.full((tokens.shape[0], 1), lp) + t - 1
             logits, cache = model.apply(
                 params, input_ids=tokens, vision=vis_r, positions=pos,
                 cache=cache,
@@ -216,7 +216,7 @@ def test_hybrid_decoder_beam_ancestry_matches_reorder():
             return logits[:, 0], cache
 
         def step_anc(tokens, cache, anc, t):
-            pos = jnp.full((tokens.shape[0], 1), lp) + t
+            pos = jnp.full((tokens.shape[0], 1), lp) + t - 1
             logits, cache = model.apply(
                 params, input_ids=tokens, vision=vis_r, positions=pos,
                 cache=cache, beam=anc.reshape(batch, nb, -1),

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from medical_image_analysis_tpu.models.llm import (
+    LLM_CONFIGS,
     LLMConfig,
     TransformerLM,
     init_cache,
@@ -86,7 +87,9 @@ def test_cached_decode_matches_uncached(hf_pair):
 
 def _decode_step_fn(model, params, prompt_len):
     def step(tokens, cache, t):
-        pos = jnp.full((tokens.shape[0], 1), 0) + prompt_len + t
+        # the token consumed at loop step t was picked at step t-1 and
+        # sits at absolute position prompt_len + t - 1
+        pos = jnp.full((tokens.shape[0], 1), 0) + prompt_len + t - 1
         logits, cache = model.apply(
             params, input_ids=tokens, positions=pos, cache=cache
         )
@@ -183,3 +186,33 @@ def test_incremental_seen_equals_sequence_formula():
         np.asarray(_apply_repetition_penalty(logits, seq, 2.0)),
         rtol=0, atol=0,
     )
+
+
+def test_generate_positions_match_uncached_oracle():
+    """Cached greedy decode must reproduce step-by-step UNCACHED full
+    forwards (the oracle that caught the lp+t vs lp+t-1 RoPE position
+    off-by-one: wrong positions diverge from the oracle at token 2)."""
+    cfg = LLM_CONFIGS["tiny_test"]
+    model = TransformerLM(cfg)
+    lp, new = 6, 6
+    ids = jax.random.randint(jax.random.PRNGKey(0), (1, lp), 0,
+                             cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), ids)
+
+    seq = ids
+    for _ in range(new):
+        logits = model.apply(params, input_ids=seq)
+        nxt = jnp.argmax(logits[:, -1], -1)[:, None]
+        seq = jnp.concatenate([seq, nxt.astype(seq.dtype)], 1)
+    oracle = np.asarray(seq[0, lp:])
+
+    cache = init_cache(cfg, 1, lp + new, dtype=jnp.float32)
+    first, cache = model.apply(
+        params, input_ids=ids,
+        positions=jnp.broadcast_to(jnp.arange(lp), (1, lp)), cache=cache,
+    )
+    out = greedy_generate(
+        _decode_step_fn(model, params, lp), cache, first[:, -1],
+        max_new_tokens=new, eos_id=-1,
+    )
+    np.testing.assert_array_equal(np.asarray(out[0]), oracle)

@@ -37,7 +37,7 @@ def _beam_split_generate(model, params, ids, nb, lp, new):
     first = jnp.repeat(first[:, -1], nb, axis=0)
 
     def step_anc(tokens, cache, anc, t):
-        pos = jnp.full((tokens.shape[0], 1), lp) + t
+        pos = jnp.full((tokens.shape[0], 1), lp) + t - 1
         logits, cache = model.apply(
             params, input_ids=tokens, positions=pos, cache=cache,
             beam=anc.reshape(batch, nb, -1),

@@ -49,8 +49,14 @@ def bench(family: str, mode: str):
         print(f"{family} fwd B={b}: {ms:.1f} ms -> {b / ms * 1000:.0f} img/s")
 
     if mode in ("bwd", "both"):
+        from medical_image_analysis_tpu.ops.vit_block import training_trace
+
         def loss(p, x):
-            out = model.apply(p, x)
+            # training_trace = what the recipes' train step traces see:
+            # attention/MLP paths whose fused bwd can't compile pick
+            # unfused XLA AD instead of fused-fwd + recompute-vjp.
+            with training_trace():
+                out = model.apply(p, x)
             return jnp.sum(out.astype(jnp.float32) ** 2)
 
         g = jax.jit(jax.grad(loss))

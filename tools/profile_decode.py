@@ -41,7 +41,7 @@ def main():
     def loop(params, cache):
         def body(t, carry):
             tok, cache, acc = carry
-            pos = jnp.full((rows, 1), 16, jnp.int32) + t
+            pos = jnp.full((rows, 1), 16, jnp.int32) + t - 1
             logits, cache = model.apply(
                 params, input_ids=tok, positions=pos, cache=cache
             )
