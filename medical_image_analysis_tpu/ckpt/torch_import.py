@@ -59,6 +59,57 @@ def interpolate_pos_embed(
     return np.concatenate([extra, body], axis=1)
 
 
+def vit_torch_to_flax(
+    sd: Mapping[str, np.ndarray], depth: int, final_norm: bool = False
+) -> dict:
+    """Reference/timm-style ViT state dict -> flax :class:`models.vit.ViT`.
+
+    Source naming per ``HD_Xray_Pretrain_MAE/finetune/DP/models/vit.py``
+    (also timm ``vit_*_patch16``): ``patch_embed.proj``, ``cls_token``,
+    ``pos_embed``, ``blocks.N.{norm1,attn.qkv,attn.proj,norm2,
+    mlp.fc1,mlp.fc2}``. ``depth`` is the number of blocks to MAP — the
+    reference extractor runs ``blocks[:-1]``, so pass ``ref_depth - 1``
+    with a ``ViT(depth=ref_depth-1, final_norm=False,
+    fixed_sincos_pos=False)`` target. Missing qkv bias (qkv_bias=False
+    checkpoints) maps to zeros (our block always carries the param).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    d = sd["cls_token"].shape[-1]
+    out: dict = {
+        "patch_embed": {
+            "proj": {
+                "kernel": sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+                "bias": sd["patch_embed.proj.bias"],
+            }
+        },
+        "cls_token": sd["cls_token"],
+        "pos_embed": sd["pos_embed"],
+    }
+    for i in range(depth):
+        p = f"blocks.{i}."
+        out[f"block{i}"] = {
+            "ln1_scale": sd[p + "norm1.weight"],
+            "ln1_bias": sd[p + "norm1.bias"],
+            "qkv_kernel": sd[p + "attn.qkv.weight"].T,
+            "qkv_bias": sd.get(
+                p + "attn.qkv.bias", np.zeros(3 * d, np.float32)
+            ),
+            "proj_kernel": sd[p + "attn.proj.weight"].T,
+            "proj_bias": sd[p + "attn.proj.bias"],
+            "ln2_scale": sd[p + "norm2.weight"],
+            "ln2_bias": sd[p + "norm2.bias"],
+            "fc1_kernel": sd[p + "mlp.fc1.weight"].T,
+            "fc1_bias": sd[p + "mlp.fc1.bias"],
+            "fc2_kernel": sd[p + "mlp.fc2.weight"].T,
+            "fc2_bias": sd[p + "mlp.fc2.bias"],
+        }
+    if final_norm:
+        out["norm"] = {
+            "scale": sd["norm.weight"], "bias": sd["norm.bias"]
+        }
+    return {"params": _to_jnp(out)}
+
+
 def replicate_dir_weights(sd: Mapping[str, np.ndarray]) -> dict:
     """Stage-1 -> stage-2 surgery: copy uni-direction Mamba weights into
     the 4-direction slots (MambaXrayVL_CLIP.py:37-60): for every

@@ -230,7 +230,16 @@ def region_masking(
 
 
 class ViT(nn.Module):
-    """Plain ViT encoder returning tokens (cls first)."""
+    """Plain ViT encoder returning tokens (cls first).
+
+    The reference's DP feature extractor
+    (``HD_Xray_Pretrain_MAE/finetune/DP/models/vit.py:273-285``) runs
+    ``blocks[:-1]`` and returns WITHOUT the final LayerNorm — replicate
+    it with ``depth=ref_depth-1, final_norm=False,
+    fixed_sincos_pos=False`` (import map
+    ``ckpt/torch_import.vit_torch_to_flax``, golden
+    ``tests/test_reference_goldens.py``).
+    """
 
     patch_size: int = 16
     embed_dim: int = 768
@@ -239,6 +248,7 @@ class ViT(nn.Module):
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.0
     fixed_sincos_pos: bool = True
+    final_norm: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -263,6 +273,8 @@ class ViT(nn.Module):
             x = TransformerBlock(
                 d, self.num_heads, self.mlp_ratio, dpr[i], name=f"block{i}"
             )(x, deterministic)
+        if not self.final_norm:
+            return x
         return nn.LayerNorm(name="norm")(x)
 
 

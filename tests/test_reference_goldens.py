@@ -295,3 +295,46 @@ def test_arm_v3_mixer_import_output_parity():
                       if_devide_out=True, scan_backend="ref")
     y = np.asarray(ours.apply({"params": mp}, jnp.asarray(x.numpy()), 8))
     np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_vit_dp_extractor_import_output_parity():
+    """The reference DP feature extractor (finetune/DP/models/vit.py:
+    273-285 — runs blocks[:-1], returns WITHOUT the final norm) on CPU
+    with random weights vs our ViT through vit_torch_to_flax.
+
+    Tolerance note: the reference uses exact-erf GELU while our blocks
+    use the tanh approximation (Mosaic has no erf lowering; divergence
+    quantified in test_vit_block.py), so this golden allows 2e-3.
+    """
+    ref_vit = _load(
+        f"{REF}/HD_Xray_Pretrain_MAE/finetune/DP/models/vit.py",
+        "ref_dp_vit",
+    )
+    torch.manual_seed(0)
+    depth, dim, heads, patch, img = 3, 64, 4, 8, 32
+    m = ref_vit.ViT(
+        img_size=img, patch_size=patch, stride_size=patch, in_chans=3,
+        num_classes=0, embed_dim=dim, depth=depth, num_heads=heads,
+        qkv_bias=True,
+    ).eval()
+    x = torch.randn(2, 3, img, img)
+    with torch.no_grad():
+        want = m(x).numpy()  # (B, L+1, D) after blocks[:-1], no norm
+
+    from medical_image_analysis_tpu.ckpt.torch_import import (
+        vit_torch_to_flax,
+    )
+    from medical_image_analysis_tpu.models.vit import ViT
+
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+    params = vit_torch_to_flax(sd, depth - 1)
+    ours = ViT(
+        patch_size=patch, embed_dim=dim, depth=depth - 1,
+        num_heads=heads, fixed_sincos_pos=False, final_norm=False,
+    )
+    got = ours.apply(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), want, atol=2e-3, rtol=2e-3
+    )
