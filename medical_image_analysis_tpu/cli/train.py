@@ -27,12 +27,22 @@ def main(argv=None):
     )
     ap.add_argument("--throughput", action="store_true",
                     help="timed forward passes instead of training")
+    ap.add_argument("--test", action="store_true",
+                    help="eval-only on the test split (trainer.test, "
+                         "R2GenCSR/train.py:39-42)")
+    ap.add_argument("--validate", action="store_true",
+                    help="eval-only on the val split (trainer.validate)")
     args = ap.parse_args(argv)
 
     if args.config:
         cfg = load_config(args.config, args.overrides)
     else:
         cfg = make_config({}, args.overrides)
+    if args.test or args.validate:
+        cfg.train.eval_only = True
+        cfg.train.eval_split = "test" if args.test else "val"
+        if not (cfg.train.resume or cfg.train.init_delta):
+            cfg.train.resume = "auto"
 
     if args.throughput:
         from .throughput import run_throughput

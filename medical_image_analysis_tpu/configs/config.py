@@ -87,6 +87,12 @@ class TrainConfig:
     val_max_batches: int = 50
     save_dir: str = "save"
     resume: str = ""  # "" | "auto" | path to a state_epoch*.msgpack
+    # Evaluation-only run (the Lightning trainer.test/validate stage,
+    # R2GenCSR/train.py:49-55): skip training, restore weights (resume
+    # state and/or init_delta), score eval_split, print the metrics.
+    eval_only: bool = False
+    eval_split: str = "test"  # val | test
+    init_delta: str = ""  # delta checkpoint merged into init params
     max_epochs_this_run: int = 0  # 0 = no cap; >0 stops after N epochs
     save_state_every_epochs: int = 1
     keep_states: int = 2
@@ -139,7 +145,15 @@ def make_config(d: dict | None = None, overrides: list[str] | None = None
         node = d
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = yaml.safe_load(val)
+        loaded = yaml.safe_load(val)
+        if isinstance(loaded, str):
+            # YAML 1.1 parses "1e-3" (no dot) as a string — a silent
+            # footgun for lr-style flags; recover the numeric intent.
+            try:
+                loaded = float(loaded)
+            except ValueError:
+                pass
+        node[parts[-1]] = loaded
     return _from_dict(RunConfig, d)
 
 

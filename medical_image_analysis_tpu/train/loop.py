@@ -101,6 +101,25 @@ def _maybe_resume(state, t):
     return state, epoch + 1
 
 
+def _eval_only_params(state, t):
+    """Weights for an eval-only run (trainer.test analog): the resumed
+    state's params — EMA shadow when enabled — overlaid with an
+    optional trainable-only delta checkpoint (train.init_delta)."""
+    from ..ckpt.checkpoint import load_delta, merge_delta
+
+    params = (
+        state.ema_params
+        if state.ema_params is not None and t.ema_decay > 0
+        else state.params
+    )
+    if t.init_delta:
+        delta, meta = load_delta(t.init_delta)
+        params = merge_delta(params, delta)
+        print(f"[eval_only] merged delta {t.init_delta} "
+              f"(epoch {meta['epoch']})")
+    return params
+
+
 def _finalize_step(loss_fn, tx, state, mesh, t, specs=None):
     """Shard the state on the mesh (TP params + ZeRO opt moments) and
     build the pjit train step with gradient accumulation."""
@@ -401,7 +420,6 @@ def fit_mrg(cfg: RunConfig) -> dict:
     def loss_fn(p, batch, rng):
         return model.apply(merged(p), *ad.loss_args(batch))
 
-    state, step = _finalize_step(loss_fn, tx, state, mesh, t, specs)
     gen_method = type(model).generate
 
     @jax.jit
@@ -409,6 +427,24 @@ def fit_mrg(cfg: RunConfig) -> dict:
         return model.apply(
             merged(p), *ad.gen_args(batch), gcfg, method=gen_method,
         )
+
+    if t.eval_only:
+        # The Lightning trainer.test/validate stage: restore weights
+        # (resume state above and/or a delta), score the split, return.
+        eval_params = _eval_only_params(state, t)
+        scores = evaluate_mrg(
+            model, eval_params,
+            batcher(t.eval_split, n_context=ad.n_context,
+                    extra_fn=ad.extra_fn),
+            tok, gen_fn, mesh,
+            max_batches=t.val_max_batches or 10**9,
+            dump_path=os.path.join(
+                t.save_dir, f"result_{t.eval_split}.json"),
+        )
+        logger.write({"eval_only": t.eval_split, **scores})
+        return scores
+
+    state, step = _finalize_step(loss_fn, tx, state, mesh, t, specs)
 
     rng = jax.random.PRNGKey(t.seed + 1)
     ml = MetricLogger()
@@ -439,6 +475,8 @@ def fit_mrg(cfg: RunConfig) -> dict:
                         extra_fn=ad.extra_fn),
                 tok, gen_fn, mesh,
                 max_batches=t.val_max_batches or 10**9,
+                dump_path=os.path.join(
+                    t.save_dir, f"result_val_epoch{epoch}.json"),
             )
             logger.write({"epoch": epoch, **scores})
             results = scores
@@ -460,7 +498,7 @@ def fit_mrg(cfg: RunConfig) -> dict:
 
 
 def evaluate_mrg(model, params, batcher, tok, gen_fn, mesh=None,
-                 max_batches: int = 50) -> dict:
+                 max_batches: int = 50, dump_path: str = "") -> dict:
     gts, res = {}, {}
     n_total = -(-len(batcher.samples) // batcher.batch_size)
     if n_total > max_batches:
@@ -479,6 +517,17 @@ def evaluate_mrg(model, params, batcher, tok, gen_fn, mesh=None,
             gts[sid] = [batch["reports"][i]]
     scores = compute_nlg_scores(gts, res)
     scores.update(clinical_efficacy(gts, res))
+    if dump_path:
+        # The reference dumps generated/reference texts per eval epoch
+        # (R2GenCSR.py:649-653 json result files) for inspection.
+        import json
+
+        with open(dump_path, "w") as f:
+            json.dump(
+                {sid: {"generated": res[sid][0], "reference": gts[sid][0]}
+                 for sid in res},
+                f, indent=1,
+            )
     return scores
 
 
@@ -694,6 +743,39 @@ def fit_classify(cfg: RunConfig) -> dict:
     def logits_fn(params, images):
         return model.apply(params, images)
 
+    def run_eval(eval_params, split):
+        vb = batcher(split)
+        all_logits, all_labels = [], []
+        for batch in vb.batches(shuffle=False, drop_last=False):
+            all_logits.append(np.asarray(
+                logits_fn(eval_params, jnp.asarray(batch["images"][:, 0]))
+            ))
+            all_labels.append(np.stack(
+                [extract_labels(r) for r in batch["reports"]]
+            ))
+        # the final batch is padded by repeating its last sample; keep
+        # exactly one row per sample or metrics are biased toward the
+        # duplicates.
+        n_val = len(vb.samples)
+        logits = np.concatenate(all_logits)[:n_val]
+        labels = np.concatenate(all_labels)[:n_val]
+        if head_kind == "twoway":
+            # (N, C, 2) softmax heads: positive-class probability.
+            e = np.exp(logits - logits.max(-1, keepdims=True))
+            scores = (e / e.sum(-1, keepdims=True))[..., 1]
+            return {
+                **per_label_accuracy(logits, labels),
+                "auc_mean": multilabel_auc(scores, labels)["auc_mean"],
+            }
+        scores = 1.0 / (1.0 + np.exp(-logits))
+        return {
+            "auc_mean": multilabel_auc(scores, labels)["auc_mean"],
+            **pedestrian_metrics(scores, labels),
+        }
+
+    if t.eval_only:
+        return run_eval(_eval_only_params(state, t), t.eval_split)
+
     ml = MetricLogger()
     rng = jax.random.PRNGKey(0)
     results: dict = {}
@@ -726,35 +808,7 @@ def fit_classify(cfg: RunConfig) -> dict:
                 if state.ema_params is not None and t.ema_decay > 0
                 else state.params
             )
-            vb = batcher("val")
-            all_logits, all_labels = [], []
-            for batch in vb.batches(shuffle=False, drop_last=False):
-                all_logits.append(np.asarray(
-                    logits_fn(eval_params, jnp.asarray(batch["images"][:, 0]))
-                ))
-                all_labels.append(np.stack(
-                    [extract_labels(r) for r in batch["reports"]]
-                ))
-            # the final batch is padded by repeating its last sample;
-            # keep exactly one row per val sample or the metrics are
-            # biased toward the duplicates.
-            n_val = len(vb.samples)
-            logits = np.concatenate(all_logits)[:n_val]
-            labels = np.concatenate(all_labels)[:n_val]
-            if head_kind == "twoway":
-                # (N, C, 2) softmax heads: positive-class probability.
-                e = np.exp(logits - logits.max(-1, keepdims=True))
-                scores = (e / e.sum(-1, keepdims=True))[..., 1]
-                results = {
-                    **per_label_accuracy(logits, labels),
-                    "auc_mean": multilabel_auc(scores, labels)["auc_mean"],
-                }
-            else:
-                scores = 1.0 / (1.0 + np.exp(-logits))
-                results = {
-                    "auc_mean": multilabel_auc(scores, labels)["auc_mean"],
-                    **pedestrian_metrics(scores, labels),
-                }
+            results = run_eval(eval_params, "val")
         if t.max_epochs_this_run and (
             epoch - start_epoch + 1 >= t.max_epochs_this_run
         ):
@@ -800,7 +854,6 @@ def fit_r2gen(cfg: RunConfig) -> dict:
             batch["target_mask"],
         )
 
-    state, step = _finalize_step(loss_fn, tx, state, mesh, t)
     g = cfg.generate
 
     @jax.jit
@@ -810,6 +863,18 @@ def fit_r2gen(cfg: RunConfig) -> dict:
             method=R2GenPipeline.generate,
             max_new_tokens=g.max_new_tokens, num_beams=g.num_beams,
         )
+
+    if t.eval_only:
+        scores = evaluate_mrg(
+            model, _eval_only_params(state, t), batcher(t.eval_split),
+            tok, gen_fn, mesh, max_batches=t.val_max_batches or 10**9,
+            dump_path=os.path.join(
+                t.save_dir, f"result_{t.eval_split}.json"),
+        )
+        logger.write({"eval_only": t.eval_split, **scores})
+        return scores
+
+    state, step = _finalize_step(loss_fn, tx, state, mesh, t)
 
     ml = MetricLogger()
     rng = jax.random.PRNGKey(t.seed + 1)
@@ -902,6 +967,38 @@ def fit_lm_sft(cfg: RunConfig) -> dict:
         logits = model.apply(params, batch["lm_ids"])
         return lm_loss(logits, batch["lm_ids"], batch["lm_mask"])
 
+    def run_eval(eval_params, split):
+        vb = batcher(split, extra_fn=lm_extra)
+        n_val = len(vb.samples)
+        losses, seen = [], 0
+        for b in vb.batches(shuffle=False, drop_last=False):
+            arrays = {k: v for k, v in b.items()
+                      if isinstance(v, np.ndarray)}
+            bsz = next(iter(arrays.values())).shape[0]
+            real = min(bsz, n_val - seen)
+            seen += bsz
+            if real <= 0:
+                break
+            if real < bsz:
+                # final batch pads by repeating its tail row — slice
+                # the duplicates off (one extra compile, exact mean)
+                arrays = {k: v[:real] for k, v in arrays.items()}
+            losses.append(
+                (float(eval_loss_fn(eval_params,
+                                    _device_batch(arrays, None))),
+                 real)
+            )
+        val_loss = (
+            float(sum(l * w for l, w in losses)
+                  / max(sum(w for _, w in losses), 1))
+            if losses else float("nan")
+        )
+        return {"val_loss": val_loss,
+                "val_ppl": float(np.exp(min(val_loss, 20.0)))}
+
+    if t.eval_only:
+        return run_eval(_eval_only_params(state, t), t.eval_split)
+
     ml = MetricLogger()
     rng = jax.random.PRNGKey(t.seed + 1)
     results: dict = {}
@@ -917,33 +1014,7 @@ def fit_lm_sft(cfg: RunConfig) -> dict:
         if (epoch + 1) % t.save_state_every_epochs == 0:
             save_train_state(t.save_dir, state, epoch, keep=t.keep_states)
         if (epoch + 1) % t.val_every_epochs == 0:
-            vb = batcher("val", extra_fn=lm_extra)
-            n_val = len(vb.samples)
-            losses, seen = [], 0
-            for b in vb.batches(shuffle=False, drop_last=False):
-                arrays = {k: v for k, v in b.items()
-                          if isinstance(v, np.ndarray)}
-                bsz = next(iter(arrays.values())).shape[0]
-                real = min(bsz, n_val - seen)
-                seen += bsz
-                if real <= 0:
-                    break
-                if real < bsz:
-                    # final batch pads by repeating its tail row — slice
-                    # the duplicates off (one extra compile, exact mean)
-                    arrays = {k: v[:real] for k, v in arrays.items()}
-                losses.append(
-                    (float(eval_loss_fn(state.params,
-                                        _device_batch(arrays, None))),
-                     real)
-                )
-            val_loss = (
-                float(sum(l * w for l, w in losses)
-                      / max(sum(w for _, w in losses), 1))
-                if losses else float("nan")
-            )
-            results = {"val_loss": val_loss,
-                       "val_ppl": float(np.exp(min(val_loss, 20.0)))}
+            results = run_eval(state.params, "val")
             logger.write({"epoch": epoch, **results})
         if t.max_epochs_this_run and (
             epoch - start_epoch + 1 >= t.max_epochs_this_run

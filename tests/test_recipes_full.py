@@ -126,3 +126,74 @@ def test_fit_mamba_lm_sft(tmp_path):
     )
     out = fit(cfg)
     assert np.isfinite(out["val_loss"]) and out["val_ppl"] > 1.0
+
+
+def test_eval_only_stage(tmp_path):
+    """The trainer.test/validate analog (train.eval_only): train one
+    epoch (saves state + delta), then score the test split from the
+    saved checkpoint without training."""
+    import dataclasses
+
+    cfg = _cfg(
+        "r2gengpt", str(tmp_path), vision="vit", vision_kwargs=TINY_VIT,
+        llm_kwargs=TINY_LLM_KW,
+    )
+    fit(cfg)
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, eval_only=True, eval_split="test", resume="auto",
+        )
+    )
+    scores = fit(cfg2)
+    assert "Bleu_4" in scores
+    # generated/reference texts dumped like the reference's result json
+    import json
+
+    dump = json.loads((tmp_path / "result_test.json").read_text())
+    assert all("generated" in v and "reference" in v for v in dump.values())
+
+    # delta-only restore path (init_delta instead of a full state)
+    delta = next(
+        f for f in tmp_path.iterdir()
+        if f.name.startswith("checkpoint_epoch")
+    )
+    cfg3 = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, eval_only=True, eval_split="val",
+            init_delta=str(delta),
+        )
+    )
+    assert "Bleu_4" in fit(cfg3)
+
+
+def test_eval_only_r2gen(tmp_path):
+    import dataclasses
+
+    cfg = _cfg(
+        "r2gen", str(tmp_path), vision="vit", vision_kwargs=TINY_VIT,
+        task_kwargs=dict(r2gen_kwargs=dict(
+            d_model=16, d_ff=16, num_layers=1, num_heads=2,
+            rm_num_slots=2, rm_num_heads=2,
+        )),
+    )
+    fit(cfg)
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, eval_only=True, eval_split="test", resume="auto",
+        )
+    )
+    assert "Bleu_4" in fit(cfg2)
+
+
+def test_eval_only_classify(tmp_path):
+    import dataclasses
+
+    cfg = _cfg("dp", str(tmp_path), vision="vit", vision_kwargs=TINY_VIT)
+    fit(cfg)
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, eval_only=True, resume="auto",
+        )
+    )
+    scores = fit(cfg2)
+    assert "auc_mean" in scores
