@@ -91,27 +91,35 @@ def main(argv=None):
         return
 
     if args.serve:
-        from http.server import BaseHTTPRequestHandler, HTTPServer
+        server = make_server(report_for, args.serve)
+        print(f"serving on :{server.server_address[1]}")
+        server.serve_forever()
 
-        class Handler(BaseHTTPRequestHandler):
-            def do_POST(self):
-                length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length) or "{}")
-                import PIL.Image
 
-                raw = base64.b64decode(req["image"])
-                with PIL.Image.open(io.BytesIO(raw)) as pil:
-                    img = np.asarray(pil.convert("RGB"), np.uint8)
-                body = json.dumps(
-                    {"report": report_for(img)}
-                ).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.end_headers()
-                self.wfile.write(body)
+def make_server(report_for, port: int):
+    """HTTP JSON server: POST /generate {"image": <b64 png/jpg>} ->
+    {"report": ...}. Split out so tests can bind port 0 and drive it."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
 
-        print(f"serving on :{args.serve}")
-        HTTPServer(("0.0.0.0", args.serve), Handler).serve_forever()
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or "{}")
+            import PIL.Image
+
+            raw = base64.b64decode(req["image"])
+            with PIL.Image.open(io.BytesIO(raw)) as pil:
+                img = np.asarray(pil.convert("RGB"), np.uint8)
+            body = json.dumps({"report": report_for(img)}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet in tests
+            pass
+
+    return HTTPServer(("0.0.0.0", port), Handler)
 
 
 if __name__ == "__main__":
