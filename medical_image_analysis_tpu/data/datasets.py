@@ -21,7 +21,7 @@ from typing import Iterator
 
 import numpy as np
 
-from .preprocessing import host_preprocess
+from .preprocessing import decode_scaled, host_preprocess
 from .report_cleaning import clean_report
 from .tokenizer import WordTokenizer
 
@@ -339,17 +339,19 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
         yield item
 
 
-def disk_image_loader(base_dir: str, input_size: int):
-    """Default loader: PIL decode + swin-processor-style preprocess."""
+def disk_image_loader(base_dir: str, input_size: int,
+                      fast_decode: bool = True):
+    """Default loader: scaled JPEG decode + swin-processor-style
+    preprocess (see :func:`..data.preprocessing.decode_scaled` for the
+    fast-path semantics; ``fast_decode=False`` is bit-faithful to the
+    reference's full decode)."""
     import os
-
-    import PIL.Image
 
     def load(sample: Sample) -> np.ndarray:
         views = []
         for p in sample.image_paths:
-            with PIL.Image.open(os.path.join(base_dir, p)) as pil:
-                arr = np.asarray(pil.convert("RGB"), np.uint8)
+            arr = decode_scaled(
+                os.path.join(base_dir, p), input_size, fast=fast_decode)
             views.append(host_preprocess(arr, input_size))
         return np.stack(views)
 
@@ -395,15 +397,14 @@ def synthetic_image_loader(size: int = 64, views: int = 2):
     return load
 
 
-def zip_image_loader(zip_path: str, input_size: int):
+def zip_image_loader(zip_path: str, input_size: int,
+                     fast_decode: bool = True):
     """Zip-backed image loading (SwinCheX ``cached_image_folder.py``
     parity): per-thread zipfile handles, decode straight from the
     archive — no extracted tree on disk."""
     import io
     import threading as _threading
     import zipfile
-
-    import PIL.Image
 
     local = _threading.local()
     handles: list[zipfile.ZipFile] = []  # every per-thread handle
@@ -420,8 +421,8 @@ def zip_image_loader(zip_path: str, input_size: int):
         views = []
         for p in sample.image_paths:
             with handle().open(p) as f:
-                with PIL.Image.open(io.BytesIO(f.read())) as pil:
-                    arr = np.asarray(pil.convert("RGB"), np.uint8)
+                arr = decode_scaled(io.BytesIO(f.read()), input_size,
+                                    fast=fast_decode)
             views.append(host_preprocess(arr, input_size))
         return np.stack(views)
 

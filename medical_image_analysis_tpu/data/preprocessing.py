@@ -23,10 +23,40 @@ def host_preprocess(img: np.ndarray, size: int) -> np.ndarray:
     """uint8 (H, W, 3) -> float32 (size, size, 3), normalized."""
     import PIL.Image
 
-    pil = PIL.Image.fromarray(img)
-    pil = pil.resize((size, size), PIL.Image.BICUBIC)
-    arr = np.asarray(pil, np.float32) / 255.0
+    if img.shape[:2] != (size, size):
+        pil = PIL.Image.fromarray(img)
+        pil = pil.resize((size, size), PIL.Image.BICUBIC)
+        img = np.asarray(pil)
+    arr = img.astype(np.float32) / 255.0
     return (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def decode_scaled(fp, size: int, fast: bool = True) -> np.ndarray:
+    """Decode an image file/bytes to uint8 (size, size, 3).
+
+    ``fast=True`` (default) uses libjpeg's DCT-domain scaled decode
+    (``PIL.Image.draft``) to decode straight to the nearest power-of-2
+    scale >= size, resizes in the *native* mode (1 channel for grayscale
+    X-rays instead of 3), and only then expands to RGB.  On a typical
+    3056x2544 MIMIC-CXR JPEG this is ~11x faster than the reference's
+    full decode + bicubic (``data_helper.py:24-26`` via
+    AutoImageProcessor) at 23 vs 265 ms/img on one host core, at the
+    cost of resampling from the 1/2-1/8 DCT image rather than full res
+    (mean abs pixel delta < 2/255 on smooth radiographs; see
+    tests/test_data_parity.py).  ``fast=False`` reproduces the reference
+    pipeline exactly.
+    """
+    import PIL.Image
+
+    with PIL.Image.open(fp) as pil:
+        if fast:
+            pil.draft(pil.mode if pil.mode in ("L", "RGB") else None,
+                      (size, size))
+            pil = pil.resize((size, size), PIL.Image.BICUBIC)
+            if pil.mode != "RGB":
+                pil = pil.convert("RGB")
+            return np.asarray(pil, np.uint8)
+        return np.asarray(pil.convert("RGB"), np.uint8)
 
 
 def device_preprocess(

@@ -93,6 +93,38 @@ def test_zip_image_loader(tmp_path):
     assert np.isfinite(out).all()
 
 
+def test_decode_scaled_parity(tmp_path):
+    """Fast DCT-scaled decode stays close to the reference full decode
+    on a smooth (radiograph-like) JPEG, and is exact for non-JPEG."""
+    import io
+
+    import PIL.Image
+
+    from medical_image_analysis_tpu.data.preprocessing import decode_scaled
+
+    rng = np.random.default_rng(0)
+    # Smooth large grayscale image (separable low-freq ramp + noise).
+    y = np.linspace(0, 1, 1200)[:, None] * np.linspace(1, 0.2, 1000)[None]
+    img = (255 * (0.7 * y + 0.05)).astype(np.uint8)
+    buf = io.BytesIO()
+    PIL.Image.fromarray(img, "L").save(buf, "JPEG", quality=95)
+    fast = decode_scaled(io.BytesIO(buf.getvalue()), 224, fast=True)
+    full_img = decode_scaled(io.BytesIO(buf.getvalue()), 224, fast=False)
+    full = np.asarray(
+        PIL.Image.fromarray(full_img).resize((224, 224), PIL.Image.BICUBIC))
+    assert fast.shape == full.shape == (224, 224, 3)
+    assert np.abs(fast.astype(np.float32) - full.astype(np.float32)).mean() < 2.0
+    # PNG: draft is a no-op; grayscale-resize-then-expand still matches
+    # full-decode-then-resize closely (L resample == per-channel resample).
+    png = tmp_path / "g.png"
+    PIL.Image.fromarray(rng.integers(0, 255, (64, 80), np.uint8), "L").save(png)
+    a = decode_scaled(str(png), 32, fast=True)
+    b_img = decode_scaled(str(png), 32, fast=False)
+    b = np.asarray(PIL.Image.fromarray(b_img).resize((32, 32),
+                                                     PIL.Image.BICUBIC))
+    assert np.array_equal(a, b)
+
+
 def test_parallel_batcher_matches_serial():
     ann = synthetic_annotations()
     tok = WordTokenizer.from_corpus(
