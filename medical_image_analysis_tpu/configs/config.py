@@ -29,6 +29,12 @@ class DataConfig:
     context_retrieval_mode: str = "keyword"  # keyword | random | chexbert
     context_keyword: Any = "effusion"  # str or list of disease keywords
     chexbert_csv: str = ""  # ann_chexbert.csv path for chexbert mode
+    # Directory holding an HF tokenizer.json (defaults to
+    # model.llm_weights_dir when that is set): use the checkpoint's BPE
+    # tokenizer instead of the corpus word tokenizer — required when
+    # training against real LLM weights (R2GenCSR.py:141-176 loads the
+    # Llama/Qwen tokenizer alongside the model).
+    tokenizer_dir: str = ""
     use_feature_mean: bool = True  # False: MIMIC study-grouped two-view
     num_workers: int = 8  # parallel image-decode threads
     vocab_min_freq: int = 3
@@ -44,6 +50,13 @@ class ModelConfig:
     vision: str = "swin"  # swin | vssm | arm | vit
     vision_size: str = "base"  # tiny | base | large (per-family presets)
     llm: str = "qwen1_5_0_5b"  # key into models.llm.LLM_CONFIGS
+    # HF checkpoint dir (config.json + *.safetensors): stream real
+    # Llama/Qwen weights into the (frozen or LoRA) LLM tower instead of
+    # random init — the reference's standard SFT setup. Architecture
+    # comes from the checkpoint's config.json (model.llm is ignored);
+    # llm_kwargs still override individual fields.
+    llm_weights_dir: str = ""
+    llm_int8: bool = False  # int8-quantize the streamed LLM kernels
     vision_kwargs: dict = dataclasses.field(default_factory=dict)
     llm_kwargs: dict = dataclasses.field(default_factory=dict)
     # Extra constructor kwargs for the heads-heavy task models (AMMRG

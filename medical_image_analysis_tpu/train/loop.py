@@ -161,9 +161,20 @@ def build_data(cfg: RunConfig):
         # re-samples the pooled extra view per epoch (regroup_views).
         for split in ("val", "test"):
             ann[split] = group_study_two_views(ann[split])
-    tok = WordTokenizer.from_corpus(
-        (s.report for s in ann["train"]), min_freq=d.vocab_min_freq
-    )
+    tok_dir = d.tokenizer_dir or cfg.model.llm_weights_dir
+    tok_file = os.path.join(tok_dir, "tokenizer.json") if tok_dir else ""
+    if tok_file and os.path.exists(tok_file):
+        from ..data.hf_tokenizer import HFTokenizer
+
+        tok = HFTokenizer.from_file(tok_file)
+    else:
+        if d.tokenizer_dir:
+            raise FileNotFoundError(
+                f"data.tokenizer_dir set but no tokenizer.json at {tok_file}"
+            )
+        tok = WordTokenizer.from_corpus(
+            (s.report for s in ann["train"]), min_freq=d.vocab_min_freq
+        )
     chexbert = load_chexbert_csv(d.chexbert_csv) if d.chexbert_csv else None
 
     def batcher(split, n_context=0, shuffle=True, extra_fn=None):
@@ -182,9 +193,24 @@ def build_data(cfg: RunConfig):
 
 def build_mrg_model(cfg: RunConfig, vocab_size: int):
     m = cfg.model
-    llm_cfg = dataclasses.replace(
-        LLM_CONFIGS[m.llm], vocab_size=vocab_size, **(m.llm_kwargs or {})
-    )
+    if m.llm_weights_dir:
+        from ..ckpt.hf_load import read_hf_config
+
+        # Architecture and vocab come from the checkpoint; the data
+        # tokenizer must fit inside the checkpoint's embedding table.
+        llm_cfg = read_hf_config(m.llm_weights_dir, **(m.llm_kwargs or {}))
+        if vocab_size > llm_cfg.vocab_size:
+            raise ValueError(
+                f"tokenizer vocab ({vocab_size}) exceeds the checkpoint "
+                f"vocab ({llm_cfg.vocab_size}); set data.tokenizer_dir to "
+                "the checkpoint's tokenizer"
+            )
+        if m.llm_int8:
+            llm_cfg = dataclasses.replace(llm_cfg, quant_int8=True)
+    else:
+        llm_cfg = dataclasses.replace(
+            LLM_CONFIGS[m.llm], vocab_size=vocab_size, **(m.llm_kwargs or {})
+        )
     vk = vision_preset(m.vision, m.vision_size, m.vision_kwargs)
     if cfg.train.remat:
         llm_cfg = dataclasses.replace(llm_cfg, remat=True)
@@ -369,6 +395,29 @@ def fit_mrg(cfg: RunConfig) -> dict:
     params = _init_params(
         model, jax.random.PRNGKey(t.seed), *ad.loss_args(first)
     )
+    if cfg.model.llm_weights_dir:
+        # Stream real Llama/Qwen weights over the randomly-initialized
+        # LLM tower (R2GenCSR.py:141-176: pretrained decoder, frozen or
+        # LoRA; vision/projector towers keep their fresh init).
+        if cfg.model.task == "emrrg":
+            raise ValueError(
+                "model.llm_weights_dir does not apply to emrrg: its "
+                "hybrid SSM decoder initializes from a Mamba-LM pretrain "
+                "checkpoint (train.init_delta), not an HF transformer"
+            )
+        if t.lora_llm and cfg.model.llm_int8:
+            raise ValueError(
+                "train.lora_llm with model.llm_int8 is unsupported: int8 "
+                "is a serving format; train LoRA against bf16 weights"
+            )
+        from ..ckpt.hf_load import load_llm_params
+
+        loaded = load_llm_params(
+            cfg.model.llm_weights_dir, model.llm_cfg,
+            int8=cfg.model.llm_int8,
+        )
+        params = {**params, "params": {**params["params"],
+                                       "llm": loaded["params"]}}
     print("[fit_mrg] params initialized; building train step", flush=True)
 
     # LoRA on the LLM q/v projections (the reference's HF-peft default,

@@ -133,3 +133,59 @@ def test_tokenizer_drops_into_batcher():
     batch = next(b.batches(shuffle=False))
     assert batch["target_ids"].shape == (4, 16)
     assert batch["target_ids"].max() < tok.vocab_size
+
+
+def test_fit_mrg_streams_hf_weights(tmp_path):
+    """End-to-end SFT against a real-format HF checkpoint: architecture
+    from config.json, weights streamed into the frozen LLM tower, the
+    checkpoint's own BPE tokenizer picked up by build_data."""
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    from medical_image_analysis_tpu.configs.config import make_config
+    from medical_image_analysis_tpu.data.datasets import synthetic_annotations
+    from medical_image_analysis_tpu.train.loop import build_data, fit
+
+    hf_cfg = Qwen2Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    d = tmp_path / "qwen512"
+    Qwen2ForCausalLM(hf_cfg).eval().save_pretrained(
+        d, safe_serialization=True)
+    ann = synthetic_annotations()
+    tok = HFTokenizer.train_bpe((s.report for s in ann["train"]), 512)
+    tok.save(str(d / "tokenizer.json"))
+
+    cfg = make_config({
+        "data": {
+            "dataset": "synthetic", "batch_size": 4, "input_size": 32,
+            "max_len": 16,
+        },
+        "model": {
+            "task": "r2gengpt", "vision": "arm",
+            "llm_weights_dir": str(d),
+            "vision_kwargs": dict(patch_size=8, embed_dim=16, depth=1,
+                                  d_state=4, scan_backend="ref",
+                                  drop_path_rate=0.0),
+        },
+        "train": {
+            "epochs": 1, "lr": 1e-3, "warmup_steps": 2, "log_every": 100,
+            "save_dir": str(tmp_path / "run"),
+        },
+        "generate": {
+            "num_beams": 1, "max_new_tokens": 4, "min_new_tokens": 1,
+            "max_cache_len": 160,
+        },
+    })
+    _, tok2, _, _ = build_data(cfg)
+    assert isinstance(tok2, HFTokenizer)  # checkpoint tokenizer picked up
+    scores = fit(cfg)
+    assert "Bleu_4" in scores
+    assert any(
+        f.name.startswith("checkpoint_epoch")
+        for f in (tmp_path / "run").iterdir()
+    )
