@@ -335,6 +335,10 @@ class ARM(nn.Module):
     embed_dim: int = 768
     depth: int = 12
     d_state: int = 16
+    # The reference ARM hardcodes expand=1 in create_block
+    # (arm/Finetuning/models_mamba.py:151) for every variant — d_inner
+    # equals embed_dim, unlike the Mamba-LM convention of 2x.
+    expand: int = 1
     bimamba_type: str = "v3"
     if_devide_out: bool = True
     rms_norm: bool = True
@@ -364,6 +368,7 @@ class ARM(nn.Module):
             x = block_cls(
                 d_model=self.embed_dim,
                 d_state=self.d_state,
+                expand=self.expand,
                 bimamba_type=self.bimamba_type,
                 if_devide_out=self.if_devide_out,
                 rms_norm=self.rms_norm,

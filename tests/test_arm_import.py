@@ -17,7 +17,9 @@ from medical_image_analysis_tpu.ckpt.torch_import import (
 from medical_image_analysis_tpu.models.mamba import ARM
 
 
-def _synthetic_arm_sd(depth=1, d=24, din=48, n=4, rank=2, patches=16):
+def _synthetic_arm_sd(depth=1, d=24, din=24, n=4, rank=2, patches=16):
+    # din == d: the reference ARM runs its mixers at expand=1
+    # (models_mamba.py:151), so d_inner equals embed_dim.
     rng = np.random.default_rng(0)
     f = lambda *s: rng.standard_normal(s).astype(np.float32) * 0.05
     sd = {
