@@ -57,6 +57,12 @@ class ModelConfig:
     # llm_kwargs still override individual fields.
     llm_weights_dir: str = ""
     llm_int8: bool = False  # int8-quantize the streamed LLM kernels
+    # Pretrain artifact (state_epoch*.msgpack or delta checkpoint from
+    # fit_ar / fit_mae / fit_clip / a classifier run) grafted into the
+    # vision tower at init — the reference's stage-chaining surgery
+    # (MambaXrayVL_CLIP.py:44-66, extract_backbone_weights.py); see
+    # ckpt/bridge.py.
+    vision_init: str = ""
     vision_kwargs: dict = dataclasses.field(default_factory=dict)
     llm_kwargs: dict = dataclasses.field(default_factory=dict)
     # Extra constructor kwargs for the heads-heavy task models (AMMRG

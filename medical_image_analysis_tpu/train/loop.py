@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs.config import RunConfig
+from ..ckpt.bridge import apply_vision_init
 from ..ckpt.checkpoint import (
     auto_resume_helper,
     delta_filename,
@@ -395,6 +396,18 @@ def fit_mrg(cfg: RunConfig) -> dict:
     params = _init_params(
         model, jax.random.PRNGKey(t.seed), *ad.loss_args(first)
     )
+    if cfg.model.vision_init:
+        # Stage-1/2 pretrain -> SFT vision-tower graft
+        # (MambaXrayVL_DownStream.py:33-42 analog; ckpt/bridge.py).
+        # am_mrg/emrrg hold a bare ARM named "vision"; the rest nest the
+        # family tower inside a VisionEncoder also named "vision".
+        fam = "arm" if cfg.model.task in ("am_mrg", "emrrg") \
+            else cfg.model.vision
+        sub = ("vision",) if cfg.model.task in ("am_mrg", "emrrg") \
+            else ("vision", cfg.model.vision)
+        params = apply_vision_init(
+            params, cfg.model.vision_init, fam, sub,
+        )
     if cfg.model.llm_weights_dir:
         # Stream real Llama/Qwen weights over the randomly-initialized
         # LLM tower (R2GenCSR.py:141-176: pretrained decoder, frozen or
@@ -689,6 +702,11 @@ def fit_clip(cfg: RunConfig) -> dict:
         jnp.asarray(first["target_ids"]),
         jnp.asarray(first["target_mask"]),
     )
+    if m.vision_init:
+        # AR stage-1 -> CLIP stage-2 graft (MambaXrayVL_CLIP.py:44-66).
+        params = apply_vision_init(
+            params, m.vision_init, "arm", ("visual_encoder",)
+        )
     mesh = _mesh_for(cfg.data.batch_size, t.mesh_data)
     steps = max(len(ann["train"]) // cfg.data.batch_size, 1) * t.epochs
     tx = make_adamw(warmup_cosine(t.lr, t.warmup_steps, steps),
@@ -774,6 +792,13 @@ def fit_classify(cfg: RunConfig) -> dict:
         model, jax.random.PRNGKey(t.seed),
         jnp.asarray(first["images"][:, 0]),
     )
+    if m.vision_init and m.vision in ("vit", "vssm"):
+        # MAE pretrain -> DP finetune encoder graft
+        # (extract_backbone_weights.py analog; ckpt/bridge.py).
+        params = apply_vision_init(
+            params, m.vision_init, m.vision,
+            ("encoder",) if m.vision == "vit" else ("backbone",),
+        )
     mesh = _mesh_for(cfg.data.batch_size, t.mesh_data)
     steps = max(len(ann["train"]) // cfg.data.batch_size, 1) * t.epochs
     tx = make_adamw(warmup_cosine(t.lr, t.warmup_steps, steps),
