@@ -42,9 +42,15 @@ class HybridAttention(nn.Module):
         cfg = self.cfg
         b, l, _ = x.shape
         nh, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-        q = nn.Dense(nh * hd, use_bias=False, dtype=cfg.dtype, name="q_proj")(x)
-        k = nn.Dense(nkv * hd, use_bias=False, dtype=cfg.dtype, name="k_proj")(x)
-        v = nn.Dense(nkv * hd, use_bias=False, dtype=cfg.dtype, name="v_proj")(x)
+        # attn_bias: the reference hybrid layer inherits the pretrained
+        # Qwen2 attention weights incl. biases (load_state_dict of the
+        # original layer, MambaXrayVL_DownStream.py:196-206).
+        q = nn.Dense(nh * hd, use_bias=cfg.attn_bias, dtype=cfg.dtype,
+                     name="q_proj")(x)
+        k = nn.Dense(nkv * hd, use_bias=cfg.attn_bias, dtype=cfg.dtype,
+                     name="k_proj")(x)
+        v = nn.Dense(nkv * hd, use_bias=cfg.attn_bias, dtype=cfg.dtype,
+                     name="v_proj")(x)
         q = q.reshape(b, l, nh, hd)
         k = k.reshape(b, l, nkv, hd)
         v = v.reshape(b, l, nkv, hd)
@@ -190,7 +196,9 @@ class HybridTransformerLM(nn.Module):
         cfg = self.cfg
         layers = []
         for i in range(cfg.n_layers):
-            if (i + 1) % self.cross_every == 0:
+            # reference placement: layers 0, n, 2n, ...
+            # (_initialize_hybrid_decoder_layers: range(0, L, n))
+            if i % self.cross_every == 0:
                 layers.append(
                     HybridDecoderLayer(
                         cfg, self.gate_fn, self.text_only_cross,

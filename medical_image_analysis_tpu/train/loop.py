@@ -412,12 +412,6 @@ def fit_mrg(cfg: RunConfig) -> dict:
         # Stream real Llama/Qwen weights over the randomly-initialized
         # LLM tower (R2GenCSR.py:141-176: pretrained decoder, frozen or
         # LoRA; vision/projector towers keep their fresh init).
-        if cfg.model.task == "emrrg":
-            raise ValueError(
-                "model.llm_weights_dir does not apply to emrrg: its "
-                "hybrid SSM decoder initializes from a Mamba-LM pretrain "
-                "checkpoint (train.init_delta), not an HF transformer"
-            )
         if t.lora_llm and cfg.model.llm_int8:
             raise ValueError(
                 "train.lora_llm with model.llm_int8 is unsupported: int8 "
@@ -425,12 +419,32 @@ def fit_mrg(cfg: RunConfig) -> dict:
             )
         from ..ckpt.hf_load import load_llm_params
 
-        loaded = load_llm_params(
-            cfg.model.llm_weights_dir, model.llm_cfg,
-            int8=cfg.model.llm_int8,
-        )
-        params = {**params, "params": {**params["params"],
-                                       "llm": loaded["params"]}}
+        if cfg.model.task == "emrrg":
+            # EMRRG's hybrid decoder keeps Llama param naming and adds
+            # cross_attn_{kv,gate}_proj inside every cross_every-th
+            # layer (EMRRG/models/MambaXrayVL_DownStream.py:119-132:
+            # pretrained Llama + freshly-inserted gated cross-attn).
+            # Graft the base weights; hybrid-only params keep init.
+            if cfg.model.llm_int8:
+                raise ValueError(
+                    "model.llm_int8 is unsupported for emrrg (the "
+                    "hybrid layers use plain Dense kernels)"
+                )
+            from ..ckpt.bridge import graft
+
+            loaded = load_llm_params(
+                cfg.model.llm_weights_dir, model.llm_cfg
+            )
+            params = {**params, "params": graft(
+                params["params"], ("llm",), loaded["params"]
+            )}
+        else:
+            loaded = load_llm_params(
+                cfg.model.llm_weights_dir, model.llm_cfg,
+                int8=cfg.model.llm_int8,
+            )
+            params = {**params, "params": {**params["params"],
+                                           "llm": loaded["params"]}}
     print("[fit_mrg] params initialized; building train step", flush=True)
 
     # LoRA on the LLM q/v projections (the reference's HF-peft default,
@@ -914,6 +928,12 @@ def fit_r2gen(cfg: RunConfig) -> dict:
         model, jax.random.PRNGKey(t.seed), jnp.asarray(first["images"]),
         jnp.asarray(first["target_ids"]), jnp.asarray(first["target_mask"]),
     )
+    if m.vision_init:
+        # HD MAE pretrain -> RG finetune encoder graft
+        # (finetune/RG_english visual extractor init; ckpt/bridge.py).
+        params = apply_vision_init(
+            params, m.vision_init, m.vision, ("vision", m.vision)
+        )
     mesh = _mesh_for(cfg.data.batch_size, t.mesh_data)
     steps = max(len(ann["train"]) // cfg.data.batch_size, 1) * t.epochs
     tx = make_adamw(warmup_cosine(t.lr, t.warmup_steps, steps),

@@ -189,3 +189,51 @@ def test_fit_mrg_streams_hf_weights(tmp_path):
         f.name.startswith("checkpoint_epoch")
         for f in (tmp_path / "run").iterdir()
     )
+
+
+def test_emrrg_grafts_hf_weights(tmp_path):
+    """EMRRG: the hybrid decoder's Llama-named base layers stream from
+    the HF checkpoint; hybrid-only cross-attn/gate params keep init
+    (reference: pretrained Llama + inserted gated cross-attn)."""
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    from medical_image_analysis_tpu.configs.config import make_config
+    from medical_image_analysis_tpu.data.datasets import synthetic_annotations
+    from medical_image_analysis_tpu.train.loop import fit
+
+    hf_cfg = Qwen2Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    d = tmp_path / "qwen512"
+    Qwen2ForCausalLM(hf_cfg).eval().save_pretrained(
+        d, safe_serialization=True)
+    ann = synthetic_annotations()
+    HFTokenizer.train_bpe(
+        (s.report for s in ann["train"]), 512
+    ).save(str(d / "tokenizer.json"))
+
+    cfg = make_config({
+        "data": {"dataset": "synthetic", "batch_size": 4,
+                 "input_size": 32, "max_len": 16},
+        "model": {
+            "task": "emrrg", "vision": "arm",
+            "llm_weights_dir": str(d),
+            # cross_every=2 over 2 layers => layer 0 is hybrid: the
+            # graft must route Qwen2 attention biases into the hybrid
+            # layer too (it inherits the pretrained weights).
+            "task_kwargs": dict(cross_every=2),
+            "vision_kwargs": dict(patch_size=8, embed_dim=16, depth=1,
+                                  d_state=4, scan_backend="ref",
+                                  drop_path_rate=0.0),
+        },
+        "train": {"epochs": 1, "lr": 1e-3, "warmup_steps": 2,
+                  "log_every": 100, "save_dir": str(tmp_path / "run")},
+        "generate": {"num_beams": 1, "max_new_tokens": 4,
+                     "min_new_tokens": 1, "max_cache_len": 160},
+    })
+    scores = fit(cfg)
+    assert "Bleu_4" in scores

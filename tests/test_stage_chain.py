@@ -88,6 +88,22 @@ def test_mae_to_dp_chain(tmp_path):
     assert "instance_f1" in res  # pedestrian-style DP metrics present
 
 
+def test_mae_to_r2gen_chain(tmp_path):
+    """HD MAE pretrain -> RG_english finetune (classic R2Gen with the
+    pretrained ViT extractor)."""
+    fit(_base(tmp_path / "mae", "mae", vision_kwargs=TINY_MAE))
+    mae_state = auto_resume_helper(str(tmp_path / "mae"))
+    scores = fit(_base(
+        tmp_path / "rg", "r2gen", vision="vit", vision_kwargs=TINY_VIT,
+        vision_init=mae_state,
+        task_kwargs=dict(r2gen_kwargs=dict(
+            d_model=16, d_ff=16, num_layers=1, num_heads=2,
+            rm_num_slots=2, rm_num_heads=2,
+        )),
+    ))
+    assert "Bleu_4" in scores
+
+
 def test_bridge_validation_errors():
     ar = {"patch_embed": {}, "layers_0": {
         "mixer": {"A_log": np.zeros((2, 4, 4), np.float32)}, "norm": {}}}
