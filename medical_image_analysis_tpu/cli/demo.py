@@ -32,11 +32,15 @@ def build_pipeline(args):
     from ..train.loop import build_mrg_model
 
     cfg = load_config(args.config) if args.config else make_config({})
-    tok = (
-        WordTokenizer.load(args.vocab)
-        if args.vocab
-        else WordTokenizer(["the", "lungs", "are", "clear", "."])
-    )
+    tok_dir = cfg.data.tokenizer_dir or cfg.model.llm_weights_dir
+    if args.vocab:
+        tok = WordTokenizer.load(args.vocab)
+    elif tok_dir:
+        from ..data.hf_tokenizer import HFTokenizer
+
+        tok = HFTokenizer.from_file(f"{tok_dir}/tokenizer.json")
+    else:
+        tok = WordTokenizer(["the", "lungs", "are", "clear", "."])
     model = build_mrg_model(cfg, tok.vocab_size)
     gcfg = dataclasses.replace(cfg.generate, eos_id=tok.EOS, num_beams=3)
 
@@ -50,6 +54,12 @@ def build_pipeline(args):
         jnp.asarray(after),
         jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32),
     )
+    if cfg.model.llm_weights_dir:
+        # Serve against real streamed LLM weights (int8 welcome here —
+        # the same splice the training recipes use).
+        from ..train.loop import splice_llm_weights
+
+        params = splice_llm_weights(params, cfg, model)
     if args.delta:
         from ..ckpt.checkpoint import load_delta, merge_delta
 

@@ -377,6 +377,36 @@ def make_task_adapter(cfg: RunConfig, ann, tok, loader) -> TaskAdapter:
     )
 
 
+def splice_llm_weights(params: dict, cfg: RunConfig, model) -> dict:
+    """Stream real Llama/Qwen weights over the randomly-initialized LLM
+    tower (R2GenCSR.py:141-176: pretrained decoder, frozen or LoRA;
+    vision/projector towers keep their fresh init). For emrrg, the
+    hybrid decoder keeps Llama param naming and adds
+    cross_attn_{kv,gate}_proj inside every cross_every-th layer
+    (EMRRG/models/MambaXrayVL_DownStream.py:119-206: pretrained weights
+    incl. biases inherited, hybrid-only params keep init) — graft
+    instead of replacing the subtree."""
+    from ..ckpt.hf_load import load_llm_params
+
+    if cfg.model.task == "emrrg":
+        if cfg.model.llm_int8:
+            raise ValueError(
+                "model.llm_int8 is unsupported for emrrg (the hybrid "
+                "layers use plain Dense kernels)"
+            )
+        from ..ckpt.bridge import graft
+
+        loaded = load_llm_params(cfg.model.llm_weights_dir, model.llm_cfg)
+        return {**params, "params": graft(
+            params["params"], ("llm",), loaded["params"]
+        )}
+    loaded = load_llm_params(
+        cfg.model.llm_weights_dir, model.llm_cfg, int8=cfg.model.llm_int8
+    )
+    return {**params, "params": {**params["params"],
+                                 "llm": loaded["params"]}}
+
+
 def fit_mrg(cfg: RunConfig) -> dict:
     """SFT recipe (call stacks 3.1/3.2 of SURVEY.md)."""
     t = cfg.train
@@ -409,42 +439,12 @@ def fit_mrg(cfg: RunConfig) -> dict:
             params, cfg.model.vision_init, fam, sub,
         )
     if cfg.model.llm_weights_dir:
-        # Stream real Llama/Qwen weights over the randomly-initialized
-        # LLM tower (R2GenCSR.py:141-176: pretrained decoder, frozen or
-        # LoRA; vision/projector towers keep their fresh init).
         if t.lora_llm and cfg.model.llm_int8:
             raise ValueError(
                 "train.lora_llm with model.llm_int8 is unsupported: int8 "
                 "is a serving format; train LoRA against bf16 weights"
             )
-        from ..ckpt.hf_load import load_llm_params
-
-        if cfg.model.task == "emrrg":
-            # EMRRG's hybrid decoder keeps Llama param naming and adds
-            # cross_attn_{kv,gate}_proj inside every cross_every-th
-            # layer (EMRRG/models/MambaXrayVL_DownStream.py:119-132:
-            # pretrained Llama + freshly-inserted gated cross-attn).
-            # Graft the base weights; hybrid-only params keep init.
-            if cfg.model.llm_int8:
-                raise ValueError(
-                    "model.llm_int8 is unsupported for emrrg (the "
-                    "hybrid layers use plain Dense kernels)"
-                )
-            from ..ckpt.bridge import graft
-
-            loaded = load_llm_params(
-                cfg.model.llm_weights_dir, model.llm_cfg
-            )
-            params = {**params, "params": graft(
-                params["params"], ("llm",), loaded["params"]
-            )}
-        else:
-            loaded = load_llm_params(
-                cfg.model.llm_weights_dir, model.llm_cfg,
-                int8=cfg.model.llm_int8,
-            )
-            params = {**params, "params": {**params["params"],
-                                           "llm": loaded["params"]}}
+        params = splice_llm_weights(params, cfg, model)
     print("[fit_mrg] params initialized; building train step", flush=True)
 
     # LoRA on the LLM q/v projections (the reference's HF-peft default,
