@@ -89,8 +89,11 @@ class TrainConfig:
     warmup_steps: int = 100
     grad_clip: float = 1.0
     freeze_llm: bool = True
+    freeze_vision: bool = False  # ref --freeze_vm (R2GenCSR.py:122-127)
     lora_llm: bool = False
     lora_rank: int = 16
+    lora_vision: bool = False  # ref --vis_use_lora (R2GenCSR.py:111-121)
+    lora_vision_rank: int = 16
     accum_steps: int = 1  # ref --accumulate_grad_batches (config.py:86)
     remat: bool = False  # activation ckpt (ref use_checkpoint vmamba.py:1386)
     zero_opt: bool = True  # ZeRO-1 analog of the deepspeed strategy flag

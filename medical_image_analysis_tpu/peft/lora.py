@@ -29,60 +29,73 @@ class LoRARule:
     rank: int = 8
     alpha: float = 16.0
     out_slice: tuple[int, int] | None = None  # column range of the delta
+    # Fractional column range of the delta, resolved against each
+    # matched kernel's output width — lets one rule target e.g. the q
+    # third of a fused qkv kernel across Swin stages whose dims differ.
+    out_frac: tuple[float, float] | None = None
 
 
 def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", k)) for k in path)
 
 
-def _match(rules, path, leaf) -> LoRARule | None:
+def _matches(rules, path, leaf) -> list[tuple[int, LoRARule]]:
     if leaf.ndim != 2:  # only Dense kernels
-        return None
-    for r in rules:
-        if re.search(r.pattern, path):
-            return r
+        return []
+    return [
+        (i, r) for i, r in enumerate(rules) if re.search(r.pattern, path)
+    ]
+
+
+def _cols(rule: LoRARule, d_out: int) -> tuple[int, int] | None:
+    if rule.out_slice:
+        return rule.out_slice
+    if rule.out_frac:
+        return int(rule.out_frac[0] * d_out), int(rule.out_frac[1] * d_out)
     return None
 
 
 def init_lora(rng, params, rules: list[LoRARule]):
-    """Returns a pytree with {'a','b'} at matched kernel positions and
-    None elsewhere (same treedef as params, dict leaves)."""
+    """Returns {'path': {'a','b'}} at matched kernel positions. When
+    several rules hit one kernel (e.g. separate q and v adapters on a
+    fused qkv), each extra adapter is keyed 'path@<rule index>' (the
+    first keeps the bare path, so single-rule checkpoints are stable)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     out = {}
     keys = jax.random.split(rng, max(len(flat), 1))
     for i, (path, leaf) in enumerate(flat):
         p = _path_str(path)
-        rule = _match(rules, p, leaf)
-        if rule is None:
-            continue
-        d_in, d_out = leaf.shape
-        cols = (
-            rule.out_slice[1] - rule.out_slice[0]
-            if rule.out_slice
-            else d_out
-        )
-        a = jax.random.normal(keys[i], (d_in, rule.rank)) * 0.01
-        b = jnp.zeros((rule.rank, cols))
-        out[p] = {"a": a, "b": b}
+        for j, (ri, rule) in enumerate(_matches(rules, p, leaf)):
+            d_in, d_out = leaf.shape
+            sl = _cols(rule, d_out)
+            cols = sl[1] - sl[0] if sl else d_out
+            a = jax.random.normal(
+                jax.random.fold_in(keys[i], ri), (d_in, rule.rank)
+            ) * 0.01
+            b = jnp.zeros((rule.rank, cols))
+            out[p if j == 0 else f"{p}@{ri}"] = {"a": a, "b": b}
     return out
 
 
 def apply_lora(params, lora, rules: list[LoRARule]):
-    """base + (alpha/r) A@B (optionally into a column slice)."""
-    rule_by_path = {}
+    """base + (alpha/r) A@B (optionally into a column slice/fraction)."""
 
     def merge(path, leaf):
         p = _path_str(path)
-        if p not in lora:
-            return leaf
-        rule = _match(rules, p, leaf)
-        delta = (rule.alpha / rule.rank) * (
-            lora[p]["a"] @ lora[p]["b"]
-        ).astype(leaf.dtype)
-        if rule.out_slice:
-            s, e = rule.out_slice
-            return leaf.at[:, s:e].add(delta)
-        return leaf + delta
+        ms = _matches(rules, p, leaf)
+        for j, (ri, rule) in enumerate(ms):
+            key = p if j == 0 else f"{p}@{ri}"
+            if key not in lora:
+                continue
+            delta = (rule.alpha / rule.rank) * (
+                lora[key]["a"] @ lora[key]["b"]
+            ).astype(leaf.dtype)
+            sl = _cols(rule, leaf.shape[1])
+            if sl:
+                leaf = leaf.at[:, sl[0]:sl[1]].add(delta)
+            else:
+                leaf = leaf + delta
+        return leaf
 
     return jax.tree_util.tree_map_with_path(merge, params)
 
@@ -92,6 +105,19 @@ def apply_lora(params, lora, rules: list[LoRARule]):
 def llama_qv_rules(rank: int = 16, alpha: float = 16.0) -> list[LoRARule]:
     """HF-peft default: LoRA on q_proj/v_proj (R2GenCSR.py:160-175)."""
     return [LoRARule(r"self_attn/(q_proj|v_proj)/kernel", rank, alpha)]
+
+
+def vision_qv_rules(rank: int = 16, alpha: float = 16.0) -> list[LoRARule]:
+    """``vis_use_lora`` (R2GenCSR.py:111-121: HF-peft LoRA on the vision
+    attention query/value). Swin/ViT here use one fused qkv kernel, so
+    two adapters target its q and v column thirds; the SSM towers'
+    analog is the in_proj X half (EMRRG's partial-X, applied via
+    :func:`mamba_partial_x_rules` inside the EMRRG recipe)."""
+    return [
+        LoRARule(r"vision/.*qkv/kernel", rank, alpha, out_frac=(0, 1 / 3)),
+        LoRARule(r"vision/.*qkv/kernel", rank, alpha,
+                 out_frac=(2 / 3, 1.0)),
+    ]
 
 
 def mamba_partial_x_rules(

@@ -55,7 +55,12 @@ from ..models.vision_mamba_ar import VisionMambaAR
 from ..models.vmamba import VSSM_CONFIGS
 from ..parallel.mesh import make_mesh, shard_batch
 from ..parallel.tp import param_specs as tp_param_specs
-from ..peft.lora import apply_lora, init_lora, llama_qv_rules
+from ..peft.lora import (
+    apply_lora,
+    init_lora,
+    llama_qv_rules,
+    vision_qv_rules,
+)
 from ..utils.logging import JsonlLogger, MetricLogger
 from ..utils.profiling import enable_debug_nans
 from .optim import make_adamw, scaled_lr, warmup_cosine
@@ -235,15 +240,21 @@ def build_mrg_model(cfg: RunConfig, vocab_size: int):
                     **tkw)
 
 
-def trainable_mask(params, freeze_llm: bool):
-    """Freeze the LLM tower (the reference default: frozen/LoRA LLM)."""
-    if not freeze_llm:
+def trainable_mask(params, freeze_llm: bool, freeze_vision: bool = False):
+    """Freeze the LLM tower (the reference default: frozen/LoRA LLM) and
+    optionally the vision tower (ref ``--freeze_vm``,
+    R2GenCSR.py:122-127)."""
+    frozen_keys = ({"llm"} if freeze_llm else set()) | (
+        {"vision", "visual_encoder"} if freeze_vision else set()
+    )
+    if not frozen_keys:
         return jax.tree_util.tree_map(lambda _: True, params)
 
     def walk(tree, frozen):
         if isinstance(tree, dict):
             return {
-                k: walk(v, frozen or k == "llm") for k, v in tree.items()
+                k: walk(v, frozen or k in frozen_keys)
+                for k, v in tree.items()
             }
         return not frozen
 
@@ -448,9 +459,13 @@ def fit_mrg(cfg: RunConfig) -> dict:
     print("[fit_mrg] params initialized; building train step", flush=True)
 
     # LoRA on the LLM q/v projections (the reference's HF-peft default,
-    # R2GenCSR.py:160-175) — trained alongside the unfrozen towers.
-    lora_rules = llama_qv_rules(t.lora_rank) if t.lora_llm else None
-    if t.lora_llm:
+    # R2GenCSR.py:160-175) and/or the vision attention q/v
+    # (``--vis_use_lora``) — trained alongside the unfrozen towers.
+    lora_rules = (
+        (llama_qv_rules(t.lora_rank) if t.lora_llm else [])
+        + (vision_qv_rules(t.lora_vision_rank) if t.lora_vision else [])
+    ) or None
+    if lora_rules:
         lora = init_lora(
             jax.random.PRNGKey(t.seed + 2), params, lora_rules
         )
@@ -460,13 +475,14 @@ def fit_mrg(cfg: RunConfig) -> dict:
             return apply_lora(p["base"], p["lora"], lora_rules)
 
         mask = {
-            "base": trainable_mask(params, t.freeze_llm),
+            "base": trainable_mask(params, t.freeze_llm,
+                                   t.freeze_vision or t.lora_vision),
             "lora": jax.tree_util.tree_map(lambda _: True, lora),
         }
     else:
         train_params = params
         merged = lambda p: p  # noqa: E731
-        mask = trainable_mask(params, t.freeze_llm)
+        mask = trainable_mask(params, t.freeze_llm, t.freeze_vision)
 
     assert cfg.data.batch_size % max(t.accum_steps, 1) == 0, (
         "batch_size must be divisible by accum_steps"

@@ -193,3 +193,65 @@ def test_composes_with_partial_x_rule(base):
     merged = merge_mamba_peft(apply_lora(params, lora, rules), peft, cfg)
     y = model.apply(merged, ids)
     assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_vision_qv_lora_slices():
+    """vis_use_lora analog: two adapters per fused qkv kernel, deltas
+    land only in the q and v column thirds (k untouched)."""
+    import jax
+    import jax.numpy as jnp
+
+    from medical_image_analysis_tpu.peft.lora import (
+        apply_lora,
+        init_lora,
+        vision_qv_rules,
+    )
+
+    d = 6
+    params = {"vision": {"swin": {"blk": {"attn": {"qkv": {
+        "kernel": jnp.zeros((4, 3 * d))}}}}}}
+    rules = vision_qv_rules(rank=2)
+    lora = init_lora(jax.random.PRNGKey(0), params, rules)
+    path = "vision/swin/blk/attn/qkv/kernel"
+    assert path in lora and f"{path}@1" in lora
+    assert lora[path]["b"].shape == (2, d)
+    # force nonzero deltas
+    lora = {
+        k: {"a": jnp.ones_like(v["a"]), "b": jnp.ones_like(v["b"])}
+        for k, v in lora.items()
+    }
+    merged = apply_lora(params, lora, rules)
+    kern = merged["vision"]["swin"]["blk"]["attn"]["qkv"]["kernel"]
+    assert float(jnp.abs(kern[:, :d]).sum()) > 0        # q slice
+    assert float(jnp.abs(kern[:, d:2 * d]).sum()) == 0  # k untouched
+    assert float(jnp.abs(kern[:, 2 * d:]).sum()) > 0    # v slice
+
+
+def test_fit_mrg_vision_lora_and_freeze(tmp_path):
+    """Recipe smoke: train.lora_vision freezes the vision base and
+    trains adapters on the swin qkv (plus train.freeze_vision alone)."""
+    import jax.numpy as jnp
+
+    from medical_image_analysis_tpu.configs.config import make_config
+    from medical_image_analysis_tpu.train.loop import fit
+
+    cfg = make_config({
+        "data": {"dataset": "synthetic", "batch_size": 4,
+                 "input_size": 32, "max_len": 16, "vocab_min_freq": 1},
+        "model": {
+            "task": "r2gengpt", "vision": "swin",
+            "vision_kwargs": dict(embed_dim=8, depths=(1, 1),
+                                  num_heads=(2, 2), window_size=4,
+                                  drop_path_rate=0.0),
+            "llm_kwargs": dict(dim=32, n_layers=1, n_heads=4,
+                               n_kv_heads=4, hidden_dim=64,
+                               dtype=jnp.float32),
+        },
+        "train": {"epochs": 1, "lr": 1e-3, "warmup_steps": 2,
+                  "log_every": 100, "save_dir": str(tmp_path),
+                  "lora_vision": True},
+        "generate": {"num_beams": 1, "max_new_tokens": 4,
+                     "min_new_tokens": 1, "max_cache_len": 160},
+    })
+    scores = fit(cfg)
+    assert "Bleu_4" in scores
