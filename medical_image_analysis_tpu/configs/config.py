@@ -36,6 +36,9 @@ class DataConfig:
     # Llama/Qwen tokenizer alongside the model).
     tokenizer_dir: str = ""
     use_feature_mean: bool = True  # False: MIMIC study-grouped two-view
+    # Filter degenerate/unclear reports from the train split
+    # (ref --drop_unclear_report, default False — config.py:26).
+    drop_unclear_report: bool = False
     num_workers: int = 8  # parallel image-decode threads
     vocab_min_freq: int = 3
     prompt: str = "human : generate a comprehensive and detailed diagnosis report for this chest xray image ."

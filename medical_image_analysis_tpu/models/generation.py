@@ -63,6 +63,39 @@ def _mark_seen(seen, tok):
     return seen | (iota == tok[:, None])
 
 
+def _ban_repeated_ngrams(logits, seq, t, n):
+    """HF NoRepeatNGramLogitsProcessor over the generated ids: ban any
+    token that would complete an n-gram already present in ``seq[:t]``
+    (R2GenCSR decodes with ``no_repeat_ngram_size=2``, config.py:65).
+
+    seq: (B, T) generated ids, -1 in unfilled slots; ``t`` is the slot
+    being chosen (traced scalar). Cost per step: (n-1) shifted compares
+    over (B, T) plus one scatter-add into (B, V) — no (B, T, V) tensor.
+    """
+    if n <= 0:
+        return logits
+    b, T = seq.shape
+    v = logits.shape[-1]
+    if T - n + 1 <= 0:
+        return logits
+    idx = jnp.arange(T - n + 1)[None]  # candidate n-gram starts
+    # Window i matches iff seq[i : i+n-1] equals the current context
+    # seq[t-n+1 : t]; only windows fully inside the filled prefix count.
+    m = idx <= t - n
+    for j in range(n - 1):
+        pos = jnp.maximum(t - (n - 1) + j, 0)
+        ctx_j = jnp.take_along_axis(
+            seq, jnp.full((b, 1), 0, jnp.int32) + pos, axis=1
+        )  # (B, 1)
+        m = m & (seq[:, j : j + T - n + 1] == ctx_j)
+    nxt = seq[:, n - 1 : T]  # token following each window
+    rows = jnp.arange(b)[:, None]
+    hits = jnp.zeros((b, v), jnp.int32).at[
+        rows, jnp.where(m, nxt, 0)
+    ].add(m.astype(jnp.int32), mode="drop")
+    return jnp.where(hits > 0, NEG_INF, logits)
+
+
 def _ban_eos_before_min(logits, t, eos_id, min_new_tokens):
     if min_new_tokens <= 0:
         return logits
@@ -80,6 +113,7 @@ def greedy_generate(
     eos_id: int,
     min_new_tokens: int = 0,
     repetition_penalty: float = 1.0,
+    no_repeat_ngram_size: int = 0,
 ):
     """Greedy decode; returns (B, max_new_tokens), EOS-padded after stop."""
     b, v = first_logits.shape
@@ -87,12 +121,13 @@ def greedy_generate(
     done = jnp.zeros((b,), jnp.bool_)
     seen = jnp.zeros((b, v), jnp.bool_)
 
-    def pick(logits, seen, t):
+    def pick(logits, seq, seen, t):
         logits = _penalize_seen(logits, seen, repetition_penalty)
+        logits = _ban_repeated_ngrams(logits, seq, t, no_repeat_ngram_size)
         logits = _ban_eos_before_min(logits, t, eos_id, min_new_tokens)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    tok = pick(first_logits, seen, 0)
+    tok = pick(first_logits, seq, seen, 0)
     seq = seq.at[:, 0].set(tok)
     seen = _mark_seen(seen, tok)
     done = done | (tok == eos_id)
@@ -100,7 +135,7 @@ def greedy_generate(
     def body(t, state):
         seq, seen, done, cache, tok = state
         logits, cache = decode_step(tok[:, None], cache, t)
-        nxt = jnp.where(done, eos_id, pick(logits, seen, t))
+        nxt = jnp.where(done, eos_id, pick(logits, seq, seen, t))
         seq = seq.at[:, t].set(nxt)
         seen = _mark_seen(seen, nxt)
         done = done | (nxt == eos_id)
@@ -123,6 +158,7 @@ def sample_generate(
     top_p: float = 1.0,
     min_new_tokens: int = 0,
     repetition_penalty: float = 1.0,
+    no_repeat_ngram_size: int = 0,
 ):
     """Temperature / nucleus sampling."""
     b, v = first_logits.shape
@@ -130,8 +166,9 @@ def sample_generate(
     done = jnp.zeros((b,), jnp.bool_)
     seen = jnp.zeros((b, v), jnp.bool_)
 
-    def pick(logits, seen, t, key):
+    def pick(logits, seq, seen, t, key):
         logits = _penalize_seen(logits, seen, repetition_penalty)
+        logits = _ban_repeated_ngrams(logits, seq, t, no_repeat_ngram_size)
         logits = _ban_eos_before_min(logits, t, eos_id, min_new_tokens)
         logits = logits / jnp.maximum(temperature, 1e-6)
         if top_p < 1.0:
@@ -146,7 +183,7 @@ def sample_generate(
         return jax.random.categorical(key, logits).astype(jnp.int32)
 
     rng, key = jax.random.split(rng)
-    tok = pick(first_logits, seen, 0, key)
+    tok = pick(first_logits, seq, seen, 0, key)
     seq = seq.at[:, 0].set(tok)
     seen = _mark_seen(seen, tok)
     done = done | (tok == eos_id)
@@ -155,7 +192,7 @@ def sample_generate(
         seq, seen, done, cache, tok, rng = state
         rng, key = jax.random.split(rng)
         logits, cache = decode_step(tok[:, None], cache, t)
-        nxt = jnp.where(done, eos_id, pick(logits, seen, t, key))
+        nxt = jnp.where(done, eos_id, pick(logits, seq, seen, t, key))
         seq = seq.at[:, t].set(nxt)
         seen = _mark_seen(seen, nxt)
         done = done | (nxt == eos_id)
@@ -178,6 +215,7 @@ def beam_generate(
     min_new_tokens: int = 0,
     repetition_penalty: float = 1.0,
     length_penalty: float = 1.0,
+    no_repeat_ngram_size: int = 0,
     reorder_cache_fn=None,
     ancestry_slots: int | None = None,
     prompt_len: int = 0,
@@ -208,13 +246,22 @@ def beam_generate(
         # (B, nb, V) seen mask through the loop costs a per-step beam-
         # axis gather of the big mask that measures SLOWER on TPU than
         # the fused one-hot reduction over the (short) sequence.
+        # HF _beam_search order: log_softmax FIRST, then the logits
+        # processors act on the log-probs with NO renormalization
+        # (generation/utils.py) — renormalizing after the -inf ngram ban
+        # shifts each beam row by its own logsumexp and flips cross-beam
+        # rankings (measured vs transformers on a tiny model).
+        lp = jax.nn.log_softmax(
+            logits.reshape(batch * nb, v), axis=-1
+        )
         lp = _apply_repetition_penalty(
-            logits.reshape(batch * nb, v),
-            alive_seq.reshape(batch * nb, -1),
-            repetition_penalty,
+            lp, alive_seq.reshape(batch * nb, -1), repetition_penalty
+        )
+        lp = _ban_repeated_ngrams(
+            lp, alive_seq.reshape(batch * nb, -1), t, no_repeat_ngram_size
         )
         lp = _ban_eos_before_min(lp, t, eos_id, min_new_tokens)
-        lp = jax.nn.log_softmax(lp, axis=-1).reshape(batch, nb, v)
+        lp = lp.reshape(batch, nb, v)
         cand = alive_logp[..., None] + lp
         top_logp, top_idx = jax.lax.top_k(cand.reshape(batch, nb * v), 2 * nb)
         beam_idx = top_idx // v

@@ -53,6 +53,7 @@ class GenerateConfig:
     min_new_tokens: int = 80
     repetition_penalty: float = 2.0
     length_penalty: float = 2.0
+    no_repeat_ngram_size: int = 2  # config.py:65 default
     eos_id: int = 2
     max_cache_len: int = 1024
     # Split append-only beam KV cache: prompt KV stored once per item
@@ -212,6 +213,7 @@ class MRGMixin:
                 min_new_tokens=gcfg.min_new_tokens,
                 repetition_penalty=gcfg.repetition_penalty,
                 length_penalty=gcfg.length_penalty,
+                no_repeat_ngram_size=gcfg.no_repeat_ngram_size,
                 reorder_cache_fn=reorder_cache,
                 # anc indexes the GENERATED segment only; writes there
                 # start at gen slot 0, hence prompt_len=0.
@@ -223,6 +225,7 @@ class MRGMixin:
             max_new_tokens=gcfg.max_new_tokens, eos_id=gcfg.eos_id,
             min_new_tokens=gcfg.min_new_tokens,
             repetition_penalty=gcfg.repetition_penalty,
+            no_repeat_ngram_size=gcfg.no_repeat_ngram_size,
         )
 
 
@@ -235,6 +238,9 @@ class R2GenGPT(nn.Module, MRGMixin):
     vision_kwargs: Any = None
     projector: str = "linear"  # linear | qformer
     use_feature_mean: bool = True
+    # ref --global_only (R2GenCSR.py:229-256): the prompt carries ONE
+    # mean-pooled visual embedding instead of the full token grid.
+    global_only: bool = False
 
     def setup(self):
         kw = {f"{self.chosen}_kwargs": self.vision_kwargs or {}}
@@ -254,6 +260,8 @@ class R2GenGPT(nn.Module, MRGMixin):
             lambda x: self.vision(x, deterministic), images,
             self.use_feature_mean,
         )
+        if self.global_only:
+            tokens = tokens.mean(axis=1, keepdims=True)
         if self.projector == "linear":
             return self.proj(self.proj_norm(tokens))
         return self.proj_q(tokens)

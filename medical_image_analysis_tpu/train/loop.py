@@ -160,7 +160,8 @@ def build_data(cfg: RunConfig):
     else:
         ann = load_annotations(d.annotation_path, d.dataset)
         loader = disk_image_loader(d.base_dir, d.input_size)
-    ann["train"] = drop_unclear_reports(ann["train"])
+    if d.drop_unclear_report:
+        ann["train"] = drop_unclear_reports(ann["train"])
     two_view = not d.use_feature_mean and d.dataset == "mimic_cxr"
     if two_view:
         # val/test get one deterministic grouping; the train batcher

@@ -216,3 +216,67 @@ def test_generate_positions_match_uncached_oracle():
         max_new_tokens=new, eos_id=-1,
     )
     np.testing.assert_array_equal(np.asarray(out[0]), oracle)
+
+
+def test_greedy_ngram_ban_matches_hf(hf_pair):
+    """no_repeat_ngram_size parity in the reference's calling convention
+    (inputs_embeds => HF bans over generated ids only, R2GenCSR.py:65)."""
+    import torch
+
+    hf, params = hf_pair
+    model = TransformerLM(CFG)
+    ids = np.array([[3, 17, 92, 5], [9, 41, 7, 66]])
+    eos = 2
+    with torch.no_grad():
+        emb = hf.get_input_embeddings()(torch.tensor(ids))
+        ref = hf.generate(
+            inputs_embeds=emb, max_new_tokens=10, min_new_tokens=10,
+            num_beams=1, do_sample=False, eos_token_id=eos,
+            pad_token_id=eos, no_repeat_ngram_size=2,
+        ).numpy()
+
+    cache = init_cache(CFG, 2, 32, dtype=jnp.float32)
+    first, cache = model.apply(
+        params, input_ids=jnp.asarray(ids),
+        positions=jnp.broadcast_to(jnp.arange(4), (2, 4)), cache=cache,
+    )
+    out = greedy_generate(
+        _decode_step_fn(model, params, 4), cache, first[:, -1],
+        max_new_tokens=10, eos_id=eos, min_new_tokens=10,
+        no_repeat_ngram_size=2,
+    )
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_beam_ngram_ban_matches_hf(hf_pair):
+    import torch
+
+    hf, params = hf_pair
+    model = TransformerLM(CFG)
+    ids = np.array([[3, 17, 92, 5]])
+    eos = 2
+    with torch.no_grad():
+        emb = hf.get_input_embeddings()(torch.tensor(ids))
+        ref = hf.generate(
+            inputs_embeds=emb, max_new_tokens=10, min_new_tokens=10,
+            num_beams=3, do_sample=False, eos_token_id=eos,
+            pad_token_id=eos, no_repeat_ngram_size=2,
+            repetition_penalty=2.0, length_penalty=2.0,
+            early_stopping=True,
+        ).numpy()
+
+    nb = 3
+    cache = init_cache(CFG, nb, 32, dtype=jnp.float32)
+    ids_rep = jnp.repeat(jnp.asarray(ids), nb, axis=0)
+    first, cache = model.apply(
+        params, input_ids=ids_rep,
+        positions=jnp.broadcast_to(jnp.arange(4), (nb, 4)), cache=cache,
+    )
+    out = beam_generate(
+        _decode_step_fn(model, params, 4), cache, first[:, -1],
+        batch=1, num_beams=nb, max_new_tokens=10, eos_id=eos,
+        min_new_tokens=10, repetition_penalty=2.0, length_penalty=2.0,
+        no_repeat_ngram_size=2, reorder_cache_fn=reorder_cache,
+    )
+    out = np.asarray(out)[:, : ref.shape[1]]
+    np.testing.assert_array_equal(out, ref)

@@ -101,3 +101,25 @@ def test_r2gengpt_grad_flows_to_vision_and_proj():
     assert float(jnp.max(jnp.abs(gp["proj"]["kernel"]))) > 0
     vis = jax.tree_util.tree_leaves(gp["vision"])
     assert any(float(jnp.max(jnp.abs(leaf))) > 0 for leaf in vis)
+
+
+def test_r2gengpt_global_only():
+    """ref --global_only: one pooled visual token in the prompt
+    (R2GenCSR.py:229-256)."""
+    m = R2GenGPT(
+        llm_cfg=TINY_LLM, chosen="swin", vision_kwargs=SWIN_KW,
+        global_only=True,
+    )
+    batch = _batch()
+    params = m.init(jax.random.PRNGKey(0), **batch)
+    img = m.apply(
+        params, batch["images"], method=R2GenGPT.encode_img
+    )
+    assert img.shape[1] == 1  # single pooled embedding
+    loss = m.apply(params, **batch)
+    assert bool(jnp.isfinite(loss))
+    out = m.apply(
+        params, batch["images"], batch["before_ids"], batch["after_ids"],
+        GCFG, method=R2GenGPT.generate,
+    )
+    assert out.shape == (2, 6)
