@@ -22,6 +22,7 @@ class DataConfig:
     annotation_path: str = ""
     base_dir: str = ""
     batch_size: int = 6
+    val_batch_size: int = 0  # eval-split batch size; 0 = batch_size
     input_size: int = 224
     max_len: int = 100
     num_views: int = 2
@@ -111,6 +112,15 @@ class TrainConfig:
     # against published tables.
     val_max_batches: int = 50
     save_dir: str = "save"
+    # Weighted model-selection score over eval metrics (ref
+    # --scorer_types/--weights, config.py:57-58 + R2GenCSR.py:656-664);
+    # the best delta is copied to checkpoint_best.msgpack.
+    scorer_types: list = dataclasses.field(
+        default_factory=lambda: ["Bleu_4", "CIDEr"]
+    )
+    scorer_weights: list = dataclasses.field(
+        default_factory=lambda: [0.5, 0.5]
+    )
     resume: str = ""  # "" | "auto" | path to a state_epoch*.msgpack
     # Evaluation-only run (the Lightning trainer.test/validate stage,
     # R2GenCSR/train.py:49-55): skip training, restore weights (resume

@@ -9,7 +9,9 @@ validation generation + NLG/CE scoring, trainable-only delta saves.
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
+import shutil
 import time
 from typing import Any
 
@@ -185,8 +187,13 @@ def build_data(cfg: RunConfig):
     chexbert = load_chexbert_csv(d.chexbert_csv) if d.chexbert_csv else None
 
     def batcher(split, n_context=0, shuffle=True, extra_fn=None):
+        bs = (
+            d.val_batch_size
+            if split != "train" and d.val_batch_size > 0
+            else d.batch_size
+        )
         return MRGBatcher(
-            ann[split], tok, loader, d.batch_size, max_len=d.max_len,
+            ann[split], tok, loader, bs, max_len=d.max_len,
             num_views=d.num_views, prompt_before=d.prompt,
             prompt_after=d.prompt_after, n_context=n_context,
             context_mode=d.context_retrieval_mode,
@@ -542,6 +549,12 @@ def fit_mrg(cfg: RunConfig) -> dict:
     rng = jax.random.PRNGKey(t.seed + 1)
     ml = MetricLogger()
     results = {}
+    # Best-so-far weighted val score; survives auto-resume via best.json.
+    best_score = float("-inf")
+    best_path = os.path.join(t.save_dir, "best.json")
+    if os.path.exists(best_path):
+        with open(best_path) as f:
+            best_score = float(json.load(f).get("val_score", best_score))
     for epoch in range(start_epoch, t.epochs):
         it = prefetch(train_b.batches(epoch=epoch))
         for i, batch in enumerate(ml.log_every(
@@ -571,16 +584,30 @@ def fit_mrg(cfg: RunConfig) -> dict:
                 dump_path=os.path.join(
                     t.save_dir, f"result_val_epoch{epoch}.json"),
             )
-            logger.write({"epoch": epoch, **scores})
-            results = scores
+            # Weighted model-selection score (ref scorer_types/weights,
+            # R2GenCSR.py:656-664: 0.5*Bleu_4 + 0.5*CIDEr by default).
+            val_score = sum(
+                scores.get(s, 0.0) * w
+                for s, w in zip(t.scorer_types, t.scorer_weights)
+            )
+            logger.write({"epoch": epoch, "val_score": val_score, **scores})
+            results = {**scores, "val_score": val_score}
+            path = os.path.join(
+                t.save_dir, delta_filename(epoch, int(state.step), scores)
+            )
             save_delta(
-                os.path.join(
-                    t.save_dir, delta_filename(epoch, int(state.step), scores)
-                ),
-                state.params, mask,
+                path, state.params, mask,
                 config={"task": cfg.model.task}, epoch=epoch,
                 step=int(state.step),
             )
+            if val_score > best_score:
+                best_score = val_score
+                shutil.copyfile(
+                    path, os.path.join(t.save_dir, "checkpoint_best.msgpack")
+                )
+                with open(os.path.join(t.save_dir, "best.json"), "w") as f:
+                    json.dump({"epoch": epoch, "val_score": val_score,
+                               **scores}, f)
         # After validation so a preemption-capped run chunk still scores
         # + delta-saves its final epoch (ADVICE round 2).
         if t.max_epochs_this_run and (

@@ -41,6 +41,16 @@ def test_fit_mrg_synthetic():
     )
     scores = fit(cfg)
     assert "Bleu_4" in scores and "ce_f1" in scores
+    # weighted model selection (ref scorer_types/weights): best delta +
+    # score record written alongside the per-epoch deltas
+    import json
+    import os
+
+    assert "val_score" in scores
+    sd = cfg.train.save_dir
+    assert os.path.exists(os.path.join(sd, "checkpoint_best.msgpack"))
+    best = json.load(open(os.path.join(sd, "best.json")))
+    assert best["val_score"] == scores["val_score"]
 
 
 def test_fit_csr_synthetic():
