@@ -110,13 +110,17 @@ def llama_qv_rules(rank: int = 16, alpha: float = 16.0) -> list[LoRARule]:
 def vision_qv_rules(rank: int = 16, alpha: float = 16.0) -> list[LoRARule]:
     """``vis_use_lora`` (R2GenCSR.py:111-121: HF-peft LoRA on the vision
     attention query/value). Swin/ViT here use one fused qkv kernel, so
-    two adapters target its q and v column thirds; the SSM towers'
-    analog is the in_proj X half (EMRRG's partial-X, applied via
-    :func:`mamba_partial_x_rules` inside the EMRRG recipe)."""
+    two adapters target its q and v column thirds. For SSM towers
+    (ARM/VSSM, no query/value modules) the analog is EMRRG's partial
+    LoRA on the X half of the joint xz in_proj (``--lora_X --dim_X``,
+    EMRRG/configs/config.py); its pattern is inert on attention towers
+    and vice versa, so one rule set serves every family."""
     return [
         LoRARule(r"vision/.*qkv/kernel", rank, alpha, out_frac=(0, 1 / 3)),
         LoRARule(r"vision/.*qkv/kernel", rank, alpha,
                  out_frac=(2 / 3, 1.0)),
+        LoRARule(r"vision/.*mixer/in_proj/kernel", rank, alpha,
+                 out_frac=(0, 0.5)),
     ]
 
 

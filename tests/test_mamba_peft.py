@@ -255,3 +255,30 @@ def test_fit_mrg_vision_lora_and_freeze(tmp_path):
     })
     scores = fit(cfg)
     assert "Bleu_4" in scores
+
+
+def test_vision_lora_partial_x_on_arm_tower():
+    """EMRRG --lora_X analog: on an SSM vision tower, train.lora_vision
+    lands adapters on the in_proj X half (first half of xz columns)."""
+    import jax
+    import jax.numpy as jnp
+
+    from medical_image_analysis_tpu.peft.lora import (
+        apply_lora,
+        init_lora,
+        vision_qv_rules,
+    )
+
+    d = 8
+    params = {"vision": {"layers_0": {"mixer": {"in_proj": {
+        "kernel": jnp.zeros((d, 2 * d))}}}}}
+    rules = vision_qv_rules(rank=2)
+    lora = init_lora(jax.random.PRNGKey(0), params, rules)
+    path = "vision/layers_0/mixer/in_proj/kernel"
+    assert list(lora) == [path]
+    assert lora[path]["b"].shape == (2, d)  # X half only
+    lora[path] = {"a": jnp.ones((d, 2)), "b": jnp.ones((2, d))}
+    merged = apply_lora(params, lora, rules)
+    kern = merged["vision"]["layers_0"]["mixer"]["in_proj"]["kernel"]
+    assert float(jnp.abs(kern[:, :d]).sum()) > 0   # X columns adapted
+    assert float(jnp.abs(kern[:, d:]).sum()) == 0  # Z gate untouched
