@@ -248,6 +248,20 @@ def build_mrg_model(cfg: RunConfig, vocab_size: int):
                     **tkw)
 
 
+def unfreeze_hybrid_layers(mask: dict, cross_every: int) -> dict:
+    """EMRRG: the reference constructs its hybrid decoder layers AFTER
+    the blanket llama freeze (MambaXrayVL_DownStream.py:151-162), so the
+    freshly-built layers — inherited weights AND the new gated
+    cross-attention — default to trainable while the rest of the LLM
+    stays frozen. Mirror that on the mask."""
+    llm_mask = dict(mask["llm"])
+    for name, sub in llm_mask.items():
+        if name.startswith("layers_") and \
+                int(name.rsplit("_", 1)[1]) % cross_every == 0:
+            llm_mask[name] = jax.tree_util.tree_map(lambda _: True, sub)
+    return {**mask, "llm": llm_mask}
+
+
 def trainable_mask(params, freeze_llm: bool, freeze_vision: bool = False):
     """Freeze the LLM tower (the reference default: frozen/LoRA LLM) and
     optionally the vision tower (ref ``--freeze_vm``,
@@ -473,6 +487,16 @@ def fit_mrg(cfg: RunConfig) -> dict:
         (llama_qv_rules(t.lora_rank) if t.lora_llm else [])
         + (vision_qv_rules(t.lora_vision_rank) if t.lora_vision else [])
     ) or None
+    def base_mask(freeze_vision):
+        m_ = trainable_mask(params, t.freeze_llm, freeze_vision)
+        if cfg.model.task == "emrrg" and t.freeze_llm:
+            m_ = {**m_, "params": unfreeze_hybrid_layers(
+                m_["params"], model.cross_every
+            )} if "params" in m_ else unfreeze_hybrid_layers(
+                m_, model.cross_every
+            )
+        return m_
+
     if lora_rules:
         lora = init_lora(
             jax.random.PRNGKey(t.seed + 2), params, lora_rules
@@ -483,14 +507,13 @@ def fit_mrg(cfg: RunConfig) -> dict:
             return apply_lora(p["base"], p["lora"], lora_rules)
 
         mask = {
-            "base": trainable_mask(params, t.freeze_llm,
-                                   t.freeze_vision or t.lora_vision),
+            "base": base_mask(t.freeze_vision or t.lora_vision),
             "lora": jax.tree_util.tree_map(lambda _: True, lora),
         }
     else:
         train_params = params
         merged = lambda p: p  # noqa: E731
-        mask = trainable_mask(params, t.freeze_llm, t.freeze_vision)
+        mask = base_mask(t.freeze_vision)
 
     assert cfg.data.batch_size % max(t.accum_steps, 1) == 0, (
         "batch_size must be divisible by accum_steps"

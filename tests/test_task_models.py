@@ -153,3 +153,29 @@ def test_emrrg_text_only_cross():
     params = m.init(jax.random.PRNGKey(1), imgs, before, after, tgt, mask)
     loss = m.apply(params, imgs, before, after, tgt, mask)
     assert bool(jnp.isfinite(loss))
+
+
+def test_emrrg_hybrid_layers_trainable_under_llm_freeze():
+    """Reference freeze semantics (MambaXrayVL_DownStream.py:151-162):
+    hybrid decoder layers are rebuilt after the blanket llama freeze, so
+    they train in full; the other LLM layers stay frozen."""
+    from medical_image_analysis_tpu.train.loop import (
+        trainable_mask,
+        unfreeze_hybrid_layers,
+    )
+
+    m = EMRRG(llm_cfg=TINY_LLM, arm_kwargs=ARM_KW, cross_every=2)
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    before, after, tgt, mask_ = _text()
+    params = m.init(jax.random.PRNGKey(1), imgs, before, after, tgt, mask_)
+    mask = trainable_mask(params, freeze_llm=True)
+    mask = {"params": unfreeze_hybrid_layers(mask["params"], m.cross_every)}
+    llm = mask["params"]["llm"]
+    # layer 0 is hybrid (0 % 2 == 0) -> fully trainable
+    assert all(jax.tree_util.tree_leaves(llm["layers_0"]))
+    # layer 1 is a plain Llama block -> frozen
+    assert not any(jax.tree_util.tree_leaves(llm["layers_1"]))
+    # embed/norm/lm_head stay frozen
+    assert not any(jax.tree_util.tree_leaves(llm["embed_tokens"]))
+    # vision + projector towers train
+    assert all(jax.tree_util.tree_leaves(mask["params"]["vision"]))
