@@ -146,5 +146,28 @@ def main():
     }))
 
 
+def _backend_alive(timeout_s: float = 180.0) -> bool:
+    """Probe the (axon-tunneled) TPU backend with a bound: when the
+    tunnel wedges, ``jax.devices()`` hangs forever — fail fast with a
+    diagnosable message instead of hanging the whole bench run."""
+    import threading
+
+    out: list = []
+    th = threading.Thread(
+        target=lambda: out.append(jax.devices()), daemon=True
+    )
+    th.start()
+    th.join(timeout_s)
+    return bool(out)
+
+
 if __name__ == "__main__":
+    if not _backend_alive():
+        print(
+            "[bench] FATAL: jax.devices() did not return within 180 s — "
+            "the axon TPU tunnel is unreachable (known outage mode); "
+            "no benchmark was run",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     main()
