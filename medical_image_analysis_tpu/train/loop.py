@@ -561,6 +561,7 @@ def fit_mrg(cfg: RunConfig) -> dict:
                     extra_fn=ad.extra_fn),
             tok, gen_fn, mesh,
             max_batches=t.val_max_batches or 10**9,
+                chinese=cfg.data.dataset == "chinese",
             dump_path=os.path.join(
                 t.save_dir, f"result_{t.eval_split}.json"),
         )
@@ -604,6 +605,7 @@ def fit_mrg(cfg: RunConfig) -> dict:
                         extra_fn=ad.extra_fn),
                 tok, gen_fn, mesh,
                 max_batches=t.val_max_batches or 10**9,
+                chinese=cfg.data.dataset == "chinese",
                 dump_path=os.path.join(
                     t.save_dir, f"result_val_epoch{epoch}.json"),
             )
@@ -641,7 +643,8 @@ def fit_mrg(cfg: RunConfig) -> dict:
 
 
 def evaluate_mrg(model, params, batcher, tok, gen_fn, mesh=None,
-                 max_batches: int = 50, dump_path: str = "") -> dict:
+                 max_batches: int = 50, dump_path: str = "",
+                 chinese: bool = False) -> dict:
     gts, res = {}, {}
     n_total = -(-len(batcher.samples) // batcher.batch_size)
     if n_total > max_batches:
@@ -658,7 +661,7 @@ def evaluate_mrg(model, params, batcher, tok, gen_fn, mesh=None,
         for i, sid in enumerate(batch["ids"]):
             res[sid] = [tok.decode(out[i])]
             gts[sid] = [batch["reports"][i]]
-    scores = compute_nlg_scores(gts, res)
+    scores = compute_nlg_scores(gts, res, chinese=chinese)
     scores.update(clinical_efficacy(gts, res))
     if dump_path:
         # The reference dumps generated/reference texts per eval epoch
@@ -1029,6 +1032,7 @@ def fit_r2gen(cfg: RunConfig) -> dict:
         scores = evaluate_mrg(
             model, _eval_only_params(state, t), batcher(t.eval_split),
             tok, gen_fn, mesh, max_batches=t.val_max_batches or 10**9,
+                chinese=cfg.data.dataset == "chinese",
             dump_path=os.path.join(
                 t.save_dir, f"result_{t.eval_split}.json"),
         )
@@ -1060,6 +1064,7 @@ def fit_r2gen(cfg: RunConfig) -> dict:
             scores = evaluate_mrg(
                 model, eval_params, batcher("val"), tok, gen_fn, mesh,
                 max_batches=t.val_max_batches or 10**9,
+                chinese=cfg.data.dataset == "chinese",
             )
             logger.write({"epoch": epoch, **scores})
             results = scores
