@@ -521,3 +521,85 @@ def _to_jnp(tree):
     if isinstance(tree, dict):
         return {k: _to_jnp(v) for k, v in tree.items()}
     return jnp.asarray(tree)
+
+
+def r2gen_torch_to_flax(
+    sd: Mapping[str, np.ndarray], num_layers: int
+) -> dict:
+    """Reference R2Gen Transformer (+logit) state dict ->
+    :class:`..models.r2gen.R2Gen` params.
+
+    Spec: ``RG_english/modules/encoder_decoder.py`` — Transformer :37,
+    Encoder/Decoder stacks with final LayerNorm :58-116,
+    ConditionalLayerNorm 2-layer delta MLPs :144-181,
+    MultiHeadedAttention 4-linear clones :182-204, RelationalMemory
+    :246-302. Keys use the bare Transformer namespace (``encoder.*``,
+    ``decoder.*``, ``tgt_embed.0.lut.weight``, ``rm.*``) plus
+    ``logit.*``; an ``att_embed.*`` Linear maps when present, else the
+    identity is installed (the golden feeds pre-embedded features).
+    """
+
+    def t(name):
+        return np.ascontiguousarray(np.asarray(sd[name], np.float32).T)
+
+    def lin(name):
+        return {"kernel": t(name + ".weight"),
+                "bias": np.asarray(sd[name + ".bias"], np.float32)}
+
+    def mha(prefix):
+        return {
+            n: lin(f"{prefix}.linears.{i}")
+            for i, n in enumerate(("q", "k", "v", "o"))
+        }
+
+    def ref_ln(prefix):
+        return {"gamma": np.asarray(sd[prefix + ".gamma"], np.float32),
+                "beta": np.asarray(sd[prefix + ".beta"], np.float32)}
+
+    d_model = np.asarray(sd["tgt_embed.0.lut.weight"]).shape[1]
+    params: dict = {
+        "embed": {"embedding": np.asarray(
+            sd["tgt_embed.0.lut.weight"], np.float32)},
+        "logit": lin("logit"),
+        "enc_norm": ref_ln("encoder.norm"),
+        "dec_norm": ref_ln("decoder.norm"),
+        "rm": {
+            "attn_q": lin("rm.attn.linears.0"),
+            "attn_k": lin("rm.attn.linears.1"),
+            "attn_v": lin("rm.attn.linears.2"),
+            "attn_o": lin("rm.attn.linears.3"),
+            "mlp1": lin("rm.mlp.0"),
+            "mlp2": lin("rm.mlp.2"),
+            "w_gate": lin("rm.W"),
+            "u_gate": lin("rm.U"),
+        },
+    }
+    if "att_embed.weight" in sd:
+        params["att_embed"] = lin("att_embed")
+    else:
+        params["att_embed"] = {
+            "kernel": np.eye(d_model, dtype=np.float32),
+            "bias": np.zeros(d_model, np.float32),
+        }
+    for i in range(num_layers):
+        e = f"encoder.layers.{i}"
+        params[f"enc_attn{i}"] = mha(f"{e}.self_attn")
+        params[f"enc_ff{i}a"] = lin(f"{e}.feed_forward.w_1")
+        params[f"enc_ff{i}b"] = lin(f"{e}.feed_forward.w_2")
+        params[f"enc_ln{2 * i}"] = ref_ln(f"{e}.sublayer.0.norm")
+        params[f"enc_ln{2 * i + 1}"] = ref_ln(f"{e}.sublayer.1.norm")
+        d = f"decoder.layers.{i}"
+        params[f"dec_self{i}"] = mha(f"{d}.self_attn")
+        params[f"dec_cross{i}"] = mha(f"{d}.src_attn")
+        params[f"dec_ff{i}a"] = lin(f"{d}.feed_forward.w_1")
+        params[f"dec_ff{i}b"] = lin(f"{d}.feed_forward.w_2")
+        for k in range(3):
+            c = f"{d}.sublayer.{k}.norm"
+            params[f"dec_cln{3 * i + k}"] = {
+                **ref_ln(c),
+                "delta_gamma": lin(f"{c}.mlp_gamma.0"),
+                "delta_gamma2": lin(f"{c}.mlp_gamma.2"),
+                "delta_beta": lin(f"{c}.mlp_beta.0"),
+                "delta_beta2": lin(f"{c}.mlp_beta.2"),
+            }
+    return {"params": _to_jnp(params)}

@@ -82,9 +82,35 @@ class RelationalMemory(nn.Module):
         return jnp.stack(outs, axis=1)
 
 
+def _ref_norm(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """The reference's LayerNorm core: ``(x - mean) / (std + eps)`` with
+    torch's UNBIASED std and eps added to std, not variance
+    (encoder_decoder.py:93-104) — matches bit-for-bit, unlike
+    nn.LayerNorm's biased-variance rsqrt form."""
+    mean = x.mean(-1, keepdims=True)
+    n = x.shape[-1]
+    std = jnp.sqrt(x.var(-1, keepdims=True) * n / (n - 1))
+    return (x - mean) / (std + eps)
+
+
+class RefLayerNorm(nn.Module):
+    """gamma/beta LayerNorm in the reference's std-form."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param("gamma", nn.initializers.ones, (self.d_model,))
+        beta = self.param("beta", nn.initializers.zeros, (self.d_model,))
+        return gamma * _ref_norm(x) + beta
+
+
 class ConditionalLayerNorm(nn.Module):
     """LayerNorm whose gamma/beta are shifted by memory-predicted deltas
-    (R2Gen ConditionalSublayerConnection)."""
+    (R2Gen ConditionalSublayerConnection). The delta heads are 2-layer
+    ReLU MLPs (encoder_decoder.py:153-159; the reference sizes the
+    second gamma linear ``rm_d_model -> rm_d_model``, which equals
+    d_model in every config)."""
 
     d_model: int
 
@@ -93,12 +119,13 @@ class ConditionalLayerNorm(nn.Module):
         # memory (B, T, S*D) aligned per decoder position.
         gamma = self.param("gamma", nn.initializers.ones, (self.d_model,))
         beta = self.param("beta", nn.initializers.zeros, (self.d_model,))
-        dg = nn.Dense(self.d_model, name="delta_gamma")(memory)
-        db = nn.Dense(self.d_model, name="delta_beta")(memory)
-        mean = x.mean(-1, keepdims=True)
-        var = x.var(-1, keepdims=True)
-        xhat = (x - mean) * jax.lax.rsqrt(var + 1e-6)
-        return (gamma + dg) * xhat + (beta + db)
+        dg = nn.Dense(self.d_model, name="delta_gamma2")(
+            nn.relu(nn.Dense(self.d_model, name="delta_gamma")(memory))
+        )
+        db = nn.Dense(self.d_model, name="delta_beta2")(
+            nn.relu(nn.Dense(self.d_model, name="delta_beta")(memory))
+        )
+        return (gamma + dg) * _ref_norm(x) + (beta + db)
 
 
 class _MHA(nn.Module):
@@ -147,8 +174,13 @@ class R2Gen(nn.Module):
             for i in range(self.num_layers)
         ]
         self.enc_ln = [
-            nn.LayerNorm(name=f"enc_ln{i}") for i in range(2 * self.num_layers)
+            RefLayerNorm(self.d_model, name=f"enc_ln{i}")
+            for i in range(2 * self.num_layers)
         ]
+        # Final stack norms (reference Encoder.norm / Decoder.norm,
+        # encoder_decoder.py:58-68, 106-116).
+        self.enc_norm = RefLayerNorm(self.d_model, name="enc_norm")
+        self.dec_norm = RefLayerNorm(self.d_model, name="dec_norm")
         self.dec_self = [
             _MHA(self.d_model, self.num_heads, name=f"dec_self{i}")
             for i in range(self.num_layers)
@@ -176,7 +208,7 @@ class R2Gen(nn.Module):
             h = self.enc_ln[2 * i + 1](x)
             fa, fb = self.enc_ffn[i]
             x = x + fb(nn.relu(fa(h)))
-        return x
+        return self.enc_norm(x)
 
     def _positional(self, t: int) -> jax.Array:
         pos = jnp.arange(t)[:, None]
@@ -191,7 +223,9 @@ class R2Gen(nn.Module):
         """seq (B, T) token ids -> logits (B, T, V)."""
         b, t = seq.shape
         x = self.embed(seq) * self.d_model**0.5 + self._positional(t)[None]
-        mems = self.rm(self.embed(seq))  # (B, T, S*D)
+        # The memory consumes the SAME scaled+positional embeddings the
+        # decoder does (Transformer.decode: rm(self.tgt_embed(tgt), ...)).
+        mems = self.rm(x)  # (B, T, S*D)
         causal = jnp.where(
             jnp.tril(jnp.ones((t, t), bool))[None, None], 0.0, -jnp.inf
         )
@@ -203,7 +237,7 @@ class R2Gen(nn.Module):
             h = self.dec_cln[3 * i + 2](x, mems)
             fa, fb = self.dec_ffn[i]
             x = x + fb(nn.relu(fa(h)))
-        return self.logit(x)
+        return self.logit(self.dec_norm(x))
 
     def __call__(self, att_feats: jax.Array, seq: jax.Array) -> jax.Array:
         return self.decode(self.encode(att_feats), seq)

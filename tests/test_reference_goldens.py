@@ -338,3 +338,82 @@ def test_vit_dp_extractor_import_output_parity():
     np.testing.assert_allclose(
         np.asarray(got), want, atol=2e-3, rtol=2e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# R2Gen classic: reference Transformer (+RelationalMemory + conditional
+# LayerNorm) run on CPU, state dict mapped, logits compared.
+# ---------------------------------------------------------------------------
+
+def _ref_r2gen_mod():
+    pkg = types.ModuleType("rgmods")
+    pkg.__path__ = [
+        REF + "/HD_Xray_Pretrain_MAE/finetune/RG_english/modules"
+    ]
+    sys.modules.setdefault("rgmods", pkg)
+    _STUBBED.append("rgmods")
+    _stub("rgmods.att_model", pack_wrapper=lambda m, x, mask: m(x),
+          AttModel=object)
+    return _load(
+        REF + "/HD_Xray_Pretrain_MAE/finetune/RG_english/modules/"
+        "encoder_decoder.py",
+        "rgmods.encoder_decoder",
+    )
+
+
+def test_r2gen_transformer_logit_parity():
+    """Full reference R2Gen core (encoder, RM-conditioned decoder, final
+    norms) vs our flax R2Gen through ckpt/torch_import.r2gen_torch_to_flax
+    — logits <= 1e-4."""
+    import copy
+
+    from medical_image_analysis_tpu.ckpt.torch_import import (
+        r2gen_torch_to_flax,
+    )
+    from medical_image_analysis_tpu.models.r2gen import R2Gen
+
+    ed = _ref_r2gen_mod()
+    D, FF, H, L, S, V = 16, 32, 4, 2, 3, 50
+    torch.manual_seed(0)
+    attn = ed.MultiHeadedAttention(H, D, dropout=0.0)
+    ff = ed.PositionwiseFeedForward(D, FF, dropout=0.0)
+    pos = ed.PositionalEncoding(D, 0.0)
+    model = ed.Transformer(
+        ed.Encoder(ed.EncoderLayer(
+            D, copy.deepcopy(attn), copy.deepcopy(ff), 0.0), L),
+        ed.Decoder(ed.DecoderLayer(
+            D, copy.deepcopy(attn), copy.deepcopy(attn),
+            copy.deepcopy(ff), 0.0, S, D), L),
+        lambda x: x,
+        torch.nn.Sequential(ed.Embeddings(D, V), copy.deepcopy(pos)),
+        ed.RelationalMemory(num_slots=S, d_model=D, num_heads=H),
+    ).eval()
+    for p in model.parameters():  # make_model's xavier init
+        if p.dim() > 1:
+            torch.nn.init.xavier_uniform_(p)
+    logit = torch.nn.Linear(D, V).eval()
+
+    rng = np.random.default_rng(0)
+    att = torch.tensor(
+        rng.standard_normal((2, 5, D)), dtype=torch.float32)
+    seq = torch.tensor(rng.integers(1, V, (2, 7)))
+    src_mask = torch.ones(2, 1, 5, dtype=torch.long)
+    tgt_mask = (
+        torch.ones(2, 1, 7, dtype=torch.bool)
+        & ed.subsequent_mask(7).bool()
+    )
+    with torch.no_grad():
+        ref = logit(model(att, seq, src_mask, tgt_mask)).numpy()
+
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    sd.update({
+        f"logit.{k}": v.numpy() for k, v in logit.state_dict().items()
+    })
+    params = r2gen_torch_to_flax(sd, L)
+    ours = R2Gen(vocab_size=V, d_model=D, d_ff=FF, num_layers=L,
+                 num_heads=H, rm_num_slots=S, rm_num_heads=H)
+    got = ours.apply(
+        params, jnp.asarray(att.numpy()),
+        jnp.asarray(np.asarray(seq), np.int32),
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4, rtol=1e-3)
