@@ -603,3 +603,44 @@ def r2gen_torch_to_flax(
                 "delta_beta2": lin(f"{c}.mlp_beta.2"),
             }
     return {"params": _to_jnp(params)}
+
+
+def hopfield_torch_to_flax(
+    sd: Mapping[str, np.ndarray], prefix: str = "hopfield."
+) -> dict:
+    """hflayers HopfieldLayer/Hopfield state dict (AM_MRG vendored
+    library) -> :class:`..models.hopfield.Hopfield` ("assoc") params.
+
+    Spec: ``hopfield_layers/hflayers/__init__.py:85-140`` (association
+    core + input LayerNorms) and ``activation.py:128-162`` (separate
+    q/k/v projection weights when pattern_dim is set, one concatenated
+    ``in_proj_bias``). Head blocks are stacked along projection rows in
+    both frameworks, so kernels transpose directly.
+    """
+
+    def t(name):
+        return np.ascontiguousarray(np.asarray(sd[name], np.float32).T)
+
+    core = prefix + "association_core."
+    qw, kw, vw = (t(core + n + "_proj_weight") for n in ("q", "k", "v"))
+    nhd = qw.shape[1]  # num_heads * head_dim
+    bias = np.asarray(sd[core + "in_proj_bias"], np.float32)
+    params = {
+        "q_proj": {"kernel": qw, "bias": bias[:nhd]},
+        "k_proj": {"kernel": kw, "bias": bias[nhd:2 * nhd]},
+        "v_proj": {"kernel": vw, "bias": bias[2 * nhd:]},
+        "out_proj": {"kernel": t(core + "out_proj.weight"),
+                     "bias": np.asarray(sd[core + "out_proj.bias"],
+                                        np.float32)},
+    }
+    for ln, ours in (
+        ("norm_stored_pattern", "norm_stored"),
+        ("norm_state_pattern", "norm_state"),
+        ("norm_pattern_projection", "norm_pattern"),
+    ):
+        if prefix + ln + ".weight" in sd:
+            params[ours] = {
+                "scale": np.asarray(sd[prefix + ln + ".weight"], np.float32),
+                "bias": np.asarray(sd[prefix + ln + ".bias"], np.float32),
+            }
+    return {"params": _to_jnp(params)}

@@ -34,6 +34,11 @@ class AMMRG(nn.Module, MRGMixin):
     num_disease_queries: int = 14
     qformer_layers: int = 12
     qformer_heads: int = 12
+    # Reference HopfieldLayer config (AM_MRG.py:137-166): association
+    # head_dim 1024 at input 768, 6 heads, beta = args.scaling (4.0).
+    hopfield_hidden: int = 0  # 0 -> 4*qformer_dim//3 (1024 at 768)
+    hopfield_heads: int = 6
+    hopfield_scaling: float = 4.0
 
     def setup(self):
         self.vision = ARM(**(self.arm_kwargs or {}), name="vision")
@@ -45,11 +50,16 @@ class AMMRG(nn.Module, MRGMixin):
             num_queries=self.num_disease_queries,
             name="qformer",
         )
+        hh = self.hopfield_hidden or 4 * self.qformer_dim // 3
         self.visual_memory = HopfieldLayer(
-            hidden=self.qformer_dim, name="visual_memory"
+            hidden=hh, num_heads=self.hopfield_heads,
+            pattern_dim=self.qformer_dim, scaling=self.hopfield_scaling,
+            name="visual_memory",
         )
         self.report_memory = HopfieldLayer(
-            hidden=self.qformer_dim, name="report_memory"
+            hidden=hh, num_heads=self.hopfield_heads,
+            pattern_dim=self.qformer_dim, scaling=self.hopfield_scaling,
+            name="report_memory",
         )
         self.llm = TransformerLM(self.llm_cfg, name="llm")
         self.visual_proj = nn.Dense(self.llm_cfg.dim, name="visual_proj")

@@ -46,12 +46,13 @@ def test_qformer_projector():
 def test_hopfield_retrieval_converges_to_pattern():
     # With high beta and a query near a stored pattern, retrieval should
     # return (nearly) that pattern — the associative-memory property.
-    patterns = jnp.eye(4)[None] * 4.0  # (1, 4, 4) well-separated
-    query = jnp.array([[[3.5, 0.3, 0.1, 0.0]]])
+    # (B, M, H=1, D) per-head layout
+    patterns = (jnp.eye(4) * 4.0)[None, :, None, :]  # well-separated
+    query = jnp.array([[[[3.5, 0.3, 0.1, 0.0]]]])  # (1, 1, 1, 4)
     out = hopfield_retrieve(query, patterns, patterns, beta=8.0,
                             update_steps=2)
     np.testing.assert_allclose(
-        np.asarray(out[0, 0]), [4.0, 0, 0, 0], atol=1e-2
+        np.asarray(out[0, 0, 0]), [4.0, 0, 0, 0], atol=1e-2
     )
 
 

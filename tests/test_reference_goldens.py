@@ -417,3 +417,60 @@ def test_r2gen_transformer_logit_parity():
         jnp.asarray(np.asarray(seq), np.int32),
     )
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Hopfield lookup: the vendored hflayers library (pure torch) vs our
+# faithful multi-head association module.
+# ---------------------------------------------------------------------------
+
+def _ref_hflayers():
+    name = "hfl"
+    if name in sys.modules:
+        return sys.modules[name]
+    base = REF + "/AM_MRG/hopfield_layers/hflayers"
+    spec = importlib.util.spec_from_file_location(
+        name, base + "/__init__.py", submodule_search_locations=[base]
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    _STUBBED.append(name)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_hopfield_lookup_parity():
+    """Reference HopfieldLayer in the AM-MRG configuration (separate
+    hidden/pattern dims, multi-head, input norms, beta scaling) vs our
+    Hopfield through ckpt/torch_import.hopfield_torch_to_flax <= 1e-5."""
+    from medical_image_analysis_tpu.ckpt.torch_import import (
+        hopfield_torch_to_flax,
+    )
+    from medical_image_analysis_tpu.models.hopfield import Hopfield
+
+    hfl = _ref_hflayers()
+    torch.manual_seed(0)
+    D, HID, PAT, H, M = 12, 16, 12, 2, 5
+    layer = hfl.HopfieldLayer(
+        input_size=D, hidden_size=HID, output_size=D, pattern_size=PAT,
+        quantity=M, scaling=4.0, num_heads=H, batch_first=True,
+        normalize_stored_pattern=True, normalize_state_pattern=True,
+        dropout=0.0,
+    ).eval()
+    rng = np.random.default_rng(0)
+    bank = torch.tensor(
+        rng.standard_normal((1, M, D)), dtype=torch.float32)
+    layer.lookup_weights = torch.nn.Parameter(bank, requires_grad=False)
+    x = torch.tensor(rng.standard_normal((2, 3, D)), dtype=torch.float32)
+    with torch.no_grad():
+        ref = layer(x).numpy()
+
+    sd = {k: v.numpy() for k, v in layer.state_dict().items()}
+    params = hopfield_torch_to_flax(sd)
+    ours = Hopfield(hidden=HID, num_heads=H, pattern_dim=PAT, out_dim=D,
+                    scaling=4.0)
+    got = ours.apply(
+        params, jnp.asarray(x.numpy()),
+        jnp.broadcast_to(jnp.asarray(bank.numpy()), (2, M, D)),
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5, rtol=1e-4)
