@@ -27,10 +27,24 @@ class MambaXrayVLCLIP(nn.Module):
     arm_kwargs: Any = None
     text_kwargs: Any = None
     proj_dim: int = 2048
+    # "scratch": trainable-from-zero tower (TextEncoder); "bert": the
+    # faithful Bio_ClinicalBERT tower (models/bert.BertModel, importable
+    # from real HF weights via ckpt/torch_import.bert_hf_to_flax) —
+    # MambaXrayVL_CLIP.py:86-122.
+    text_tower: str = "scratch"
 
     def setup(self):
         self.visual_encoder = ARM(**(self.arm_kwargs or {}), name="visual_encoder")
-        self.text_encoder = TextEncoder(**(self.text_kwargs or {}), name="text_encoder")
+        if self.text_tower == "bert":
+            from .bert import BertConfig, BertModel
+
+            self.text_encoder = BertModel(
+                BertConfig(**(self.text_kwargs or {})), name="text_encoder"
+            )
+        else:
+            self.text_encoder = TextEncoder(
+                **(self.text_kwargs or {}), name="text_encoder"
+            )
         self.head = CLIPHead(proj_dim=self.proj_dim, name="head")
 
     def encode_img(self, images, deterministic=True):
@@ -39,6 +53,7 @@ class MambaXrayVLCLIP(nn.Module):
 
     def encode_txt(self, ids, mask):
         feats = self.text_encoder(ids, mask)
+        # last valid token (EOS) pooling, MambaXrayVL_CLIP.py:121-122
         return TextEncoder.pool_eos(feats, mask)
 
     def __call__(self, images, text_ids, text_mask, deterministic=True):

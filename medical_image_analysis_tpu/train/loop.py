@@ -773,10 +773,16 @@ def fit_clip(cfg: RunConfig) -> dict:
 
     t, m = cfg.train, cfg.model
     ann, tok, batcher, loader = build_data(cfg)
+    tkw = dict(m.task_kwargs or {})
+    if tkw.get("text_tower") == "bert":
+        text_kwargs = tkw.pop("text_kwargs", {"vocab_size": tok.vocab_size})
+    else:
+        text_kwargs = tkw.pop("text_kwargs", dict(
+            vocab_size=tok.vocab_size, depth=2, max_len=cfg.data.max_len,
+        ))
     model = MambaXrayVLCLIP(
         arm_kwargs=vision_preset("arm", m.vision_size, m.vision_kwargs),
-        text_kwargs=dict(vocab_size=tok.vocab_size, depth=2,
-                         max_len=cfg.data.max_len),
+        text_kwargs=text_kwargs, **tkw,
     )
     train_b = batcher("train")
     first = next(train_b.batches(shuffle=False))

@@ -179,3 +179,49 @@ def test_emrrg_hybrid_layers_trainable_under_llm_freeze():
     assert not any(jax.tree_util.tree_leaves(llm["embed_tokens"]))
     # vision + projector towers train
     assert all(jax.tree_util.tree_leaves(mask["params"]["vision"]))
+
+
+def test_clip_bert_text_tower_real_weights():
+    """Stage-2 CLIP with the faithful Bio_ClinicalBERT tower
+    (MambaXrayVL_CLIP.py:86-122): real HF BERT weights spliced in, text
+    features match transformers' last_hidden_state EOS-pooled."""
+    import torch
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertModel as HFBert
+
+    from medical_image_analysis_tpu.ckpt.torch_import import bert_hf_to_flax
+
+    torch.manual_seed(0)
+    hf = HFBert(HFBertConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64,
+    )).eval()
+    m = MambaXrayVLCLIP(
+        arm_kwargs=ARM_KW, text_tower="bert",
+        text_kwargs=dict(vocab_size=128, dim=32, n_layers=2, n_heads=4,
+                         intermediate=64, max_position=64),
+        proj_dim=16,
+    )
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    ids = rng.integers(1, 128, (2, 8)).astype(np.int64)
+    mask = np.ones((2, 8), np.int64)
+    mask[1, 5:] = 0
+    params = m.init(jax.random.PRNGKey(0), imgs, jnp.asarray(ids),
+                    jnp.asarray(mask))
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    bert_params = bert_hf_to_flax(sd, 2)["params"]
+    params = {"params": {**params["params"],
+                         "text_encoder": bert_params}}
+    got = m.apply(params, jnp.asarray(ids), jnp.asarray(mask),
+                  method=MambaXrayVLCLIP.encode_txt)
+    with torch.no_grad():
+        lh = hf(torch.tensor(ids),
+                attention_mask=torch.tensor(mask)).last_hidden_state
+    eos = mask.sum(-1) - 1
+    ref = lh[np.arange(2), eos].numpy()
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=3e-4, atol=3e-4)
+    # and the full CLIP loss still runs with the spliced tower
+    loss = m.apply(params, imgs, jnp.asarray(ids), jnp.asarray(mask))
+    assert bool(jnp.isfinite(loss))
