@@ -644,3 +644,32 @@ def hopfield_torch_to_flax(
                 "bias": np.asarray(sd[prefix + ln + ".bias"], np.float32),
             }
     return {"params": _to_jnp(params)}
+
+
+def cross_block_torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
+    """R2GenKG ResidualCrossAttentionBlock state dict (cross.py:5-38,
+    nn.MultiheadAttention fused in_proj) ->
+    :class:`..models.rgcn.ResidualCrossAttentionBlock` params."""
+
+    def t(name):
+        return np.ascontiguousarray(np.asarray(sd[name], np.float32).T)
+
+    w = np.asarray(sd["attn.in_proj_weight"], np.float32)
+    b = np.asarray(sd["attn.in_proj_bias"], np.float32)
+    d = w.shape[0] // 3
+    params = {
+        n: {"kernel": np.ascontiguousarray(w[i * d:(i + 1) * d].T),
+            "bias": b[i * d:(i + 1) * d]}
+        for i, n in enumerate(("q", "k", "v"))
+    }
+    params["proj"] = {"kernel": t("attn.out_proj.weight"),
+                      "bias": np.asarray(sd["attn.out_proj.bias"],
+                                         np.float32)}
+    params["mlp_in"] = {"kernel": t("mlp.c_fc.weight"),
+                        "bias": np.asarray(sd["mlp.c_fc.bias"], np.float32)}
+    params["mlp_out"] = {"kernel": t("mlp.c_proj.weight"),
+                         "bias": np.asarray(sd["mlp.c_proj.bias"],
+                                            np.float32)}
+    params["ln_1"] = {"scale": np.asarray(sd["ln_1.gamma"], np.float32)}
+    params["ln_2"] = {"scale": np.asarray(sd["ln_2.gamma"], np.float32)}
+    return {"params": _to_jnp(params)}

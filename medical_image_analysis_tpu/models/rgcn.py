@@ -104,7 +104,11 @@ class MultiScaleSelfAttentionFusion(nn.Module):
 
 
 class ResidualCrossAttentionBlock(nn.Module):
-    """query + MHA(query, context) + MLP, all residual (cross.py:5-38)."""
+    """query + MHA(query, context) + MLP, all residual (cross.py:5-38).
+
+    Faithful details: ONE shared pre-norm (``ln_1``) is applied to q, k
+    AND v; the norms' beta is a zero BUFFER (scale-only LayerNorm); the
+    MLP uses torch's exact (erf) GELU."""
 
     dim: int
     num_heads: int = 8
@@ -113,8 +117,9 @@ class ResidualCrossAttentionBlock(nn.Module):
     def __call__(self, query, context):
         b, lq, _ = query.shape
         nh, hd = self.num_heads, self.dim // self.num_heads
-        x = nn.LayerNorm(name="ln_q")(query)
-        ctx = nn.LayerNorm(name="ln_kv")(context)
+        ln1 = nn.LayerNorm(use_bias=False, name="ln_1")
+        x = ln1(query)
+        ctx = ln1(context)
         q = nn.Dense(self.dim, name="q")(x).reshape(b, lq, nh, hd)
         k = nn.Dense(self.dim, name="k")(ctx).reshape(b, -1, nh, hd)
         v = nn.Dense(self.dim, name="v")(ctx).reshape(b, -1, nh, hd)
@@ -124,9 +129,11 @@ class ResidualCrossAttentionBlock(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, lq, self.dim)
         query = query + nn.Dense(self.dim, name="proj")(out)
         y = nn.Dense(self.dim * 4, name="mlp_in")(
-            nn.LayerNorm(name="ln_mlp")(query)
+            nn.LayerNorm(use_bias=False, name="ln_2")(query)
         )
-        return query + nn.Dense(self.dim, name="mlp_out")(nn.gelu(y))
+        return query + nn.Dense(self.dim, name="mlp_out")(
+            nn.gelu(y, approximate=False)
+        )
 
 
 class CrossAttentionLookup(nn.Module):

@@ -474,3 +474,47 @@ def test_hopfield_lookup_parity():
         jnp.broadcast_to(jnp.asarray(bank.numpy()), (2, M, D)),
     )
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5, rtol=1e-4)
+
+
+def test_kg_cross_attention_block_parity():
+    """R2GenKG's graph<->image fusion block (cross.py, pure torch, incl.
+    the shared-q/k/v LayerNorm and frozen beta) vs ours <= 1e-5."""
+    from medical_image_analysis_tpu.ckpt.torch_import import (
+        cross_block_torch_to_flax,
+    )
+    from medical_image_analysis_tpu.models.rgcn import (
+        ResidualCrossAttentionBlock,
+    )
+
+    cross = _load(
+        REF + "/R2GenKG/visual_rgcn/cross.py", "ref_kg_cross"
+    )
+    torch.manual_seed(0)
+    D, H = 16, 4
+    blk = cross.ResidualCrossAttentionBlock(
+        d_model=D, n_head=H, dropout=0.0
+    ).eval()
+    # randomize the LN gamma so the shared-norm mapping is exercised
+    with torch.no_grad():
+        blk.ln_1.gamma.mul_(0.0).add_(
+            torch.rand_like(blk.ln_1.gamma) + 0.5)
+        blk.ln_2.gamma.mul_(0.0).add_(
+            torch.rand_like(blk.ln_2.gamma) + 0.5)
+    rng = np.random.default_rng(0)
+    q = torch.tensor(rng.standard_normal((3, 2, D)), dtype=torch.float32)
+    kv = torch.tensor(rng.standard_normal((5, 2, D)), dtype=torch.float32)
+    with torch.no_grad():
+        ref = blk(q, kv, kv).numpy()  # (Lq, B, D) seq-first
+
+    params = cross_block_torch_to_flax(
+        {k: v.numpy() for k, v in blk.state_dict().items()}
+    )
+    ours = ResidualCrossAttentionBlock(dim=D, num_heads=H)
+    got = ours.apply(
+        params,
+        jnp.asarray(q.numpy().transpose(1, 0, 2)),
+        jnp.asarray(kv.numpy().transpose(1, 0, 2)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(1, 0, 2), ref, atol=1e-5, rtol=1e-4
+    )
