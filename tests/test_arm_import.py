@@ -6,6 +6,7 @@ state dict with the reference's exact naming/shape conventions, then runs
 our model with the imported params.)
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,8 @@ from medical_image_analysis_tpu.ckpt.torch_import import (
     replicate_dir_weights,
 )
 from medical_image_analysis_tpu.models.mamba import ARM
+
+pytestmark = pytest.mark.slow
 
 
 def _synthetic_arm_sd(depth=1, d=24, din=24, n=4, rank=2, patches=16):

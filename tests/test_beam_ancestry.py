@@ -21,6 +21,8 @@ from medical_image_analysis_tpu.models.llm import (
     reorder_cache,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def test_ancestry_attn_matches_explicit_gather():
     """Unit: ancestry-resolved attention == attention over the

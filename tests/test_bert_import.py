@@ -22,6 +22,8 @@ from medical_image_analysis_tpu.models.bert import (
     Blip2QFormer,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def _np_sd(model):
     return {k: v.detach().numpy() for k, v in model.state_dict().items()}

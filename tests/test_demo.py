@@ -2,6 +2,7 @@
 build the preprocess -> encode -> beam generate -> decode pipeline from
 a tiny config, run it one-shot, and drive the HTTP JSON server."""
 
+import pytest
 import argparse
 import base64
 import io
@@ -11,6 +12,8 @@ import urllib.request
 
 import numpy as np
 import yaml
+
+pytestmark = pytest.mark.slow
 
 
 def _tiny_config(tmp_path):

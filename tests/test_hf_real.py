@@ -15,6 +15,8 @@ from medical_image_analysis_tpu.ckpt.hf_load import (
 from medical_image_analysis_tpu.data.hf_tokenizer import HFTokenizer
 from medical_image_analysis_tpu.models.llm import TransformerLM
 
+pytestmark = pytest.mark.slow
+
 CORPUS = [
     "the heart size is within normal limits .",
     "there is no focal consolidation pleural effusion or pneumothorax .",

@@ -1,5 +1,6 @@
 """Mamba LM: full-sequence forward vs incremental step decode."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,6 +15,8 @@ from medical_image_analysis_tpu.peft.lora import (
     init_lora,
     mamba_partial_x_rules,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def _model():

@@ -23,6 +23,8 @@ from medical_image_analysis_tpu.peft.mamba_peft import (
     merge_mamba_peft,
 )
 
+pytestmark = pytest.mark.slow
+
 V, D, DEPTH, N = 64, 16, 2, 4
 
 

@@ -1,10 +1,13 @@
 """Classic R2Gen (relational memory encoder-decoder)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from medical_image_analysis_tpu.models.r2gen import R2Gen, RelationalMemory
+
+pytestmark = pytest.mark.slow
 
 
 def _model():

@@ -5,11 +5,14 @@ classic, DP classifier, VSSM classification, MambaLM text SFT.
 Each test is the reference bar: train on synthetic data, evaluate
 (beam decode + NLG/CE or classification metrics), checkpoint."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from medical_image_analysis_tpu.configs.config import make_config
 from medical_image_analysis_tpu.train.loop import fit
+
+pytestmark = pytest.mark.slow
 
 TINY_LLM_KW = dict(dim=32, n_layers=1, n_heads=4, n_kv_heads=4,
                    hidden_dim=64, dtype=jnp.float32)

@@ -29,9 +29,12 @@ import torch.nn.functional as F  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference checkout not mounted"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(REF), reason="reference checkout not mounted"
+    ),
+]
 
 _STUBBED: list = []
 

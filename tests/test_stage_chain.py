@@ -19,6 +19,8 @@ from medical_image_analysis_tpu.ckpt.bridge import (
 from medical_image_analysis_tpu.ckpt.checkpoint import auto_resume_helper
 from medical_image_analysis_tpu.train.loop import fit
 
+pytestmark = pytest.mark.slow
+
 TINY_AR = dict(patch_size=4, embed_dim=16, depth=1, d_state=4,
                dec_embed_dim=16, dec_heads=2, scan_backend="ref")
 TINY_ARM = dict(patch_size=4, embed_dim=16, depth=1, d_state=4,

@@ -8,6 +8,8 @@ import pytest
 from medical_image_analysis_tpu.ckpt.torch_import import swin_hf_to_flax
 from medical_image_analysis_tpu.models.swin import SwinTransformer
 
+pytestmark = pytest.mark.slow
+
 
 def test_swin_import_matches_hf():
     import torch

@@ -24,6 +24,8 @@ from medical_image_analysis_tpu.models.llm import (
 from medical_image_analysis_tpu.parallel.mesh import make_mesh
 from medical_image_analysis_tpu.parallel.tp import shard_params
 
+pytestmark = pytest.mark.slow
+
 
 def _beam_split_generate(model, params, ids, nb, lp, new):
     batch = ids.shape[0]

@@ -1,11 +1,14 @@
 """VSSM torch-checkpoint key map: shape parity + forward runs."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from medical_image_analysis_tpu.ckpt.torch_import import vssm_torch_to_flax
 from medical_image_analysis_tpu.models.vmamba import VSSM
+
+pytestmark = pytest.mark.slow
 
 
 def _synthetic_vssm_sd(depths=(1, 1), dims=(16, 32), n=4, ratio=2.0,
