@@ -45,8 +45,35 @@ def decode_scaled(fp, size: int, fast: bool = True) -> np.ndarray:
     (mean abs pixel delta < 2/255 on smooth radiographs; see
     tests/test_data_parity.py).  ``fast=False`` reproduces the reference
     pipeline exactly.
+
+    ``.dcm`` inputs (MIMIC-CXR's native format; BASELINE.json north-star
+    scope — the reference itself only does PIL JPEG,
+    ``data_helper.py:74-80``) decode through :mod:`.dicom` (uncompressed
+    + RLE Lossless, window/rescale viewing transform) and feed the same
+    resize + RGB-expand tail.
     """
     import PIL.Image
+
+    if isinstance(fp, str):
+        is_dicom = fp.lower().endswith(".dcm")
+    else:  # file-like: sniff the Part-10 magic at offset 128
+        pos = fp.tell()
+        fp.seek(128)
+        is_dicom = fp.read(4) == b"DICM"
+        fp.seek(pos)
+    if is_dicom:
+        from .dicom import decode_dicom
+
+        if isinstance(fp, str):
+            with open(fp, "rb") as f:
+                data = f.read()
+        else:
+            data = fp.read()
+        pil = PIL.Image.fromarray(decode_dicom(data))
+        pil = pil.resize((size, size), PIL.Image.BICUBIC)
+        if pil.mode != "RGB":
+            pil = pil.convert("RGB")
+        return np.asarray(pil, np.uint8)
 
     with PIL.Image.open(fp) as pil:
         if fast:

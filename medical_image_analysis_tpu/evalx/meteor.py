@@ -80,9 +80,32 @@ _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 _DEFAULT = object()  # sentinel: "use the bundled tables"
 
 
+#: True when the last `default_tables()` call served the bundled curated
+#: radiology tables rather than user-supplied (jar-extracted) ones.
+using_bundled_tables: bool = True
+
+
 @functools.lru_cache(maxsize=1)
 def default_tables() -> MeteorTables:
-    """Bundled synonym/paraphrase tables (loaded once)."""
+    """Synonym/paraphrase tables (loaded once).
+
+    ``MIA_METEOR_TABLES`` may point at a directory produced by
+    ``tools/extract_meteor_tables.py`` (jar-extracted WordNet synsets +
+    full paraphrase table) for jar-comparable scores; otherwise the
+    bundled curated radiology tables are used — self-consistent, but
+    NOT comparable to meteor-1.5.jar-scored published numbers.
+    """
+    global using_bundled_tables
+    user_dir = os.environ.get("MIA_METEOR_TABLES")
+    if user_dir:
+        syn = os.path.join(user_dir, "meteor_synonyms.tsv")
+        par = os.path.join(user_dir, "meteor_paraphrases.txt")
+        using_bundled_tables = False
+        return MeteorTables.from_files(
+            syn if os.path.exists(syn) else None,
+            par if os.path.exists(par) else None,
+        )
+    using_bundled_tables = True
     return MeteorTables.from_files(
         os.path.join(_DATA_DIR, "meteor_synonyms.tsv"),
         os.path.join(_DATA_DIR, "meteor_paraphrases.txt"),

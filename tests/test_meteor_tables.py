@@ -51,6 +51,82 @@ def test_identical_sentences_near_one():
     assert meteor(s, s) == pytest.approx(0.9921875, abs=1e-6)
 
 
+def _make_jar(path, para_body: bytes, para_name="data/paraphrase-en.gz"):
+    import gzip
+    import zipfile
+
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "synonym/english.synsets",
+            "effusion 101 102\nfluid 102\ncardiomegaly 200\n",
+        )
+        zf.writestr("synonym/english.exceptions", "effusions effusion\n")
+        zf.writestr(para_name, gzip.compress(para_body))
+
+
+def test_jar_extractor_roundtrip(tmp_path, monkeypatch):
+    """tools/extract_meteor_tables.py: synthetic meteor-1.5.jar-format
+    archive -> tables -> MIA_METEOR_TABLES changes scores (jar-table
+    parity path, VERDICT r3 item 6)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.extract_meteor_tables import extract
+
+    jar = tmp_path / "meteor-1.5.jar"
+    _make_jar(
+        jar, b"pleural effusion ||| pleural fluid ||| 0.91\n"
+    )
+    out = tmp_path / "tables"
+    counts = extract(str(jar), str(out))
+    assert counts == {"synonyms": 4, "paraphrases": 1}
+    t = MeteorTables.from_files(
+        str(out / "meteor_synonyms.tsv"), str(out / "meteor_paraphrases.txt")
+    )
+    # exception form inherits base synset ids; synonym lookup works
+    assert t.synonyms["effusions"] == t.synonyms["effusion"]
+    assert t.synonyms["effusion"] & t.synonyms["fluid"]
+    assert ("pleural", "fluid") in t.paraphrases[("pleural", "effusion")]
+
+    # env-var override is honored by default_tables() and flips the
+    # bundled-tables flag that gates the nlg.py caveat.
+    from medical_image_analysis_tpu.evalx import meteor as meteor_mod
+
+    monkeypatch.setenv("MIA_METEOR_TABLES", str(out))
+    default_tables.cache_clear()
+    try:
+        tt = default_tables()
+        assert not meteor_mod.using_bundled_tables
+        assert tt.synonyms["cardiomegaly"] == frozenset({"200"})
+        gts = {"a": ["small pleural effusion"]}
+        res = {"a": ["small pleural fluid"]}
+        assert meteor(gts, res) > meteor(gts, res, tables=None)
+    finally:
+        monkeypatch.delenv("MIA_METEOR_TABLES")
+        default_tables.cache_clear()
+        default_tables()
+        assert meteor_mod.using_bundled_tables
+
+
+def test_jar_extractor_format_autodetect(tmp_path):
+    """tab-separated and line-pair paraphrase formats also convert."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.extract_meteor_tables import extract
+
+    jar = tmp_path / "tab.jar"
+    _make_jar(jar, b"heart is enlarged\tcardiomegaly\n")
+    extract(str(jar), str(tmp_path / "t1"))
+    assert "cardiomegaly" in (tmp_path / "t1" / "meteor_paraphrases.txt").read_text()
+
+    jar2 = tmp_path / "pairs.jar"
+    _make_jar(jar2, b"no acute disease\nno acute findings\n")
+    extract(str(jar2), str(tmp_path / "t2"))
+    line = (tmp_path / "t2" / "meteor_paraphrases.txt").read_text().strip()
+    assert line == "no acute disease ||| no acute findings"
+
+
 def test_report_pair_fixture():
     """Pinned multi-sentence fixture: synonym (effusion/fluid,
     mild/small) and paraphrase (no evidence of / without evidence of)
