@@ -107,8 +107,14 @@ def make_hybrid_mesh(data: int = -1, model: int = 1) -> Mesh:
         assert n % model == 0
         data = n // model
     assert data * model == n, f"{data}x{model} != {n} devices"
+    # Multi-slice TPU pods expose distinct slice_index values (DCN
+    # granule = slice); multi-process CPU and single-slice multi-host
+    # runs report one slice for every device — there the process is
+    # the DCN granule.
+    n_slices = len({getattr(d, "slice_index", 0) for d in jax.devices()})
     devs = mesh_utils.create_hybrid_device_mesh(
         mesh_shape=(max(data // (n // n_local), 1), model),
         dcn_mesh_shape=(min(data, n // n_local), 1),
+        process_is_granule=n_slices < 2,
     )
     return Mesh(devs.reshape(data, model), ("data", "model"))

@@ -334,3 +334,22 @@ def test_ema_disabled_is_none():
     )
     state, _ = step(state, jnp.zeros(()), jax.random.PRNGKey(0))
     assert state.ema_params is None
+
+
+@pytest.mark.slow
+def test_two_process_dcn():
+    """Two localhost CPU processes through jax.distributed: hybrid
+    ICI/DCN mesh + one production sharded train step matches the
+    single-process reference (VERDICT r3 item 5; the reference's
+    env:// NCCL rendezvous, misc.py:211-235)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "dcn_two_proc.py")],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "MIA_DCN_TEST_PORT": "56571"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:] + proc.stdout[-500:]
+    assert "DCN OK" in proc.stdout
