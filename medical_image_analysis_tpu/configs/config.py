@@ -18,8 +18,12 @@ from ..models.mrg import GenerateConfig
 
 @dataclasses.dataclass
 class DataConfig:
-    dataset: str = "iu_xray"  # iu_xray | mimic_cxr | chexpert_plus | chinese | synthetic
+    # iu_xray | mimic_cxr | chexpert_plus | chinese | synthetic |
+    # synthetic_learnable (label-grammar corpus with image->report
+    # signal, for convergence demonstrations without real data)
+    dataset: str = "iu_xray"
     annotation_path: str = ""
+    synthetic_train_size: int = 0  # synthetic_learnable train set (0 = 512)
     base_dir: str = ""
     batch_size: int = 6
     val_batch_size: int = 0  # eval-split batch size; 0 = batch_size

@@ -388,6 +388,117 @@ def synthetic_annotations(
     }
 
 
+# Learnable synthetic corpus: reports generated from a label grammar and
+# images rendered from the same labels, so image->report has real signal
+# and the full train->generate->score loop can DEMONSTRATE convergence
+# (BLEU/CIDEr rising over epochs) without real data. Each finding has a
+# distinct visual mark and a fixed positive/negative sentence; the
+# report is a deterministic function of the 6-bit label vector (64
+# distinct reports), mirroring the reference's template-like findings
+# sections (R2GenCSR clean_report output shape, data_helper.py:29-59).
+LEARNABLE_FINDINGS = [
+    ("cardiomegaly", "mild cardiomegaly is present",
+     "heart size is normal"),
+    ("left_effusion", "there is a small left pleural effusion",
+     "no left pleural effusion"),
+    ("right_effusion", "there is a small right pleural effusion",
+     "no right pleural effusion"),
+    ("pneumothorax", "there is a left apical pneumothorax",
+     "no pneumothorax is seen"),
+    ("consolidation", "focal consolidation in the right lung",
+     "no focal consolidation"),
+    ("spine", "degenerative changes of the spine",
+     "the spine is unremarkable"),
+]
+
+
+def learnable_report(bits: int) -> str:
+    parts = [
+        pos if (bits >> k) & 1 else neg
+        for k, (_, pos, neg) in enumerate(LEARNABLE_FINDINGS)
+    ]
+    return " . ".join(parts) + " ."
+
+
+def learnable_synthetic_annotations(
+    n_train: int = 512, n_val: int = 64, n_test: int = 64, seed: int = 0
+) -> dict[str, list[Sample]]:
+    """Label-grammar corpus; the 6-bit label vector rides in the id."""
+    rng = np.random.default_rng(seed)
+    n_f = len(LEARNABLE_FINDINGS)
+
+    def make(i):
+        bits = int(rng.integers(0, 2**n_f))
+        report = learnable_report(bits)
+        drop = rng.integers(0, n_f)
+        draft = " . ".join(
+            s for k, s in enumerate(report.rstrip(" .").split(" . "))
+            if k != drop
+        ) + " ."
+        return Sample(
+            f"ls{i}_{bits}", [f"v0_{i}.png", f"v1_{i}.png"], report,
+            draft=draft,
+        )
+
+    return {
+        "train": [make(i) for i in range(n_train)],
+        "val": [make(10_000 + i) for i in range(n_val)],
+        "test": [make(20_000 + i) for i in range(n_test)],
+    }
+
+
+def render_learnable_image(
+    bits: int, size: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Chest-radiograph-like rendering of a 6-bit finding vector."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    img = np.full((size, size), 0.15, np.float32)
+
+    def ellipse(cx, cy, rx, ry, value):
+        m = ((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2 <= 1.0
+        img[m] += value
+
+    # lung fields + mediastinum
+    ellipse(0.30, 0.45, 0.18, 0.30, 0.35)
+    ellipse(0.70, 0.45, 0.18, 0.30, 0.35)
+    heart_rx = 0.22 if (bits >> 0) & 1 else 0.12  # cardiomegaly
+    ellipse(0.52, 0.62, heart_rx, 0.16, -0.20)
+    if (bits >> 1) & 1:  # left effusion: bright base, viewer right
+        img[(yy > 0.62) & (xx > 0.58) & (xx < 0.90)] += 0.30
+    if (bits >> 2) & 1:  # right effusion
+        img[(yy > 0.62) & (xx > 0.10) & (xx < 0.42)] += 0.30
+    if (bits >> 3) & 1:  # pneumothorax: dark apical rim
+        img[(yy < 0.25) & (xx > 0.58) & (xx < 0.92)] *= 0.3
+    if (bits >> 4) & 1:  # consolidation blob mid-right lung
+        ellipse(0.30, 0.40, 0.07, 0.07, 0.45)
+    if (bits >> 5) & 1:  # spine hardware: bright midline bar
+        img[:, int(0.48 * size):int(0.52 * size)] += 0.35
+    img += rng.standard_normal((size, size)).astype(np.float32) * 0.03
+    img = np.clip(img, 0.0, 1.0)
+    return np.repeat(img[:, :, None], 3, axis=2)
+
+
+def learnable_image_loader(size: int = 224, views: int = 2):
+    from .preprocessing import host_preprocess
+
+    def load(sample: Sample) -> np.ndarray:
+        bits = int(sample.id.rsplit("_", 1)[1])
+        seed = abs(hash(sample.id)) % (2**32)
+        rng = np.random.default_rng(seed)
+        frames = [
+            host_preprocess(
+                np.round(
+                    render_learnable_image(bits, size, rng) * 255
+                ).astype(np.uint8),
+                size,
+            )
+            for _ in range(views)
+        ]
+        return np.stack(frames)
+
+    return load
+
+
 def synthetic_image_loader(size: int = 64, views: int = 2):
     def load(sample: Sample) -> np.ndarray:
         seed = abs(hash(sample.id)) % (2**32)

@@ -159,6 +159,16 @@ def build_data(cfg: RunConfig):
     if d.dataset == "synthetic":
         ann = synthetic_annotations()
         loader = synthetic_image_loader(d.input_size, d.num_views)
+    elif d.dataset == "synthetic_learnable":
+        from ..data.datasets import (
+            learnable_image_loader,
+            learnable_synthetic_annotations,
+        )
+
+        ann = learnable_synthetic_annotations(
+            n_train=d.synthetic_train_size or 512
+        )
+        loader = learnable_image_loader(d.input_size, d.num_views)
     else:
         ann = load_annotations(d.annotation_path, d.dataset)
         loader = disk_image_loader(d.base_dir, d.input_size)

@@ -152,3 +152,16 @@ def test_kill_and_resume_reproduces_run(tmp_path):
     assert len(leaves_a) == len(leaves_b)
     for la, lb in zip(leaves_a, leaves_b):
         np.testing.assert_allclose(la, lb, rtol=2e-5, atol=2e-6)
+
+
+def test_fit_learnable_synthetic():
+    """The label-grammar corpus (convergence-demo dataset) runs through
+    the standard r2gengpt recipe end-to-end."""
+    cfg = _base_cfg(
+        "r2gengpt", vision="swin", vision_kwargs=TINY_SWIN,
+        llm_kwargs=TINY_LLM_KW,
+    )
+    cfg.data.dataset = "synthetic_learnable"
+    cfg.data.synthetic_train_size = 16
+    scores = fit(cfg)
+    assert "Bleu_4" in scores
