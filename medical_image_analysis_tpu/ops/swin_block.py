@@ -32,7 +32,12 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .vit_block import _VMEM_BUDGET, _interpret_default, _ln
+from .vit_block import (
+    _VMEM_BUDGET,
+    _compiler_params,
+    _interpret_default,
+    _ln,
+)
 
 
 def _swin_attn_kernel(
@@ -156,6 +161,7 @@ def fused_swin_attn_block(x, wqkv, bqkv, wo, bo, ln_g, ln_b, bias, mask,
         out_shape=jax.ShapeDtypeStruct((bn, l, d), x.dtype),
         input_output_aliases={0: 0},
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(x, *ws, bias, mask)
 
 

@@ -392,7 +392,23 @@ def _mlp_stack_bytes(gb, l, d, hidden):
     return int(4 * gb * l * (2 * d + 2.75 * hidden))
 
 
-_VMEM_BUDGET = 16 * 1024 * 1024
+# Mosaic's DEFAULT scoped-vmem limit is 16M, but v5e has ~128M physical
+# VMEM and the limit is raisable per-kernel (compiler_params
+# vmem_limit_bytes — the Mamba kernels already run at 100M). Round 3
+# architected the backward fallbacks around the 16M default; with the
+# limit raised the fused backwards fit at ViT-B-and-up shapes. The
+# planning budget stays below the hard limit to leave room for
+# double-buffered IO blocks.
+_VMEM_LIMIT = 100 * 1024 * 1024
+_VMEM_BUDGET = 72 * 1024 * 1024
+
+
+def _compiler_params(interpret):
+    if interpret:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _block_call(kernel, x, weights, extra_kwargs, g_batch, interpret,
@@ -420,6 +436,7 @@ def _block_call(kernel, x, weights, extra_kwargs, g_batch, interpret,
         out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
         input_output_aliases={0: 0},  # residual block: reuse x's buffer
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(x, *ws)
 
 
@@ -438,16 +455,10 @@ def _attn_bwd_stack_bytes(gb, l, d):
 
 def _mlp_bwd_out_bytes(d, hidden):
     # fp32 weight-grad outputs accumulated across the sequential grid
-    # stay resident in scoped VMEM for the WHOLE kernel (the measured
-    # in-graph failure: 20.68M scoped alloc at ViT-B where the
-    # stack-only model said 11.7M — dw1+dw2 alone are 8*d*hidden =
-    # 18.9M at d=768/hidden=3072). Chunking the hidden dim shrinks the
-    # temps but not these outputs, so at ViT-B-and-up the fused MLP bwd
-    # is structurally impossible under Mosaic's 16M scoped-vmem limit
-    # and the plan returns None (XLA vjp takes over). A split dx/dw
-    # kernel pair would lift the limit but costs ~3 extra full matmul
-    # passes (hpre/dhid recomputed in both kernels) — priced at
-    # ViT-B 3842 as a wash-to-loss vs the XLA vjp, so not built.
+    # stay resident in scoped VMEM for the WHOLE kernel (dw1+dw2 alone
+    # are 8*d*hidden = 18.9M at d=768/hidden=3072 — the round-3
+    # "structurally impossible under 16M" wall; fits comfortably now
+    # that the kernels request vmem_limit_bytes=_VMEM_LIMIT).
     return 4 * (2 * d * hidden + hidden + 3 * d)
 
 
@@ -464,7 +475,7 @@ def _mlp_bwd_plan(b, l, d, hidden, g_batch):
     batch blocks first (fewer weight re-fetches), then larger hidden
     chunks (fewer passes). None if temps + resident fp32 weight-grad
     outputs cannot fit the Mosaic scoped-vmem limit."""
-    budget = 13 * 1024 * 1024 - _mlp_bwd_out_bytes(d, hidden)
+    budget = _VMEM_BUDGET - _mlp_bwd_out_bytes(d, hidden)
     if budget <= 0:
         return None
     hcs = [hc for hc in (1024, 512, 256, 128) if hidden % hc == 0]
@@ -516,6 +527,7 @@ def _bwd_call(kernel, x, weights, dy, wgrad_shapes, extra_kwargs, g_batch,
         out_shape=out_shapes,
         input_output_aliases={len(ws) + 1: 0},  # dy buffer becomes dx
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(x, *ws, dy)
     dx = outs[0]
     wgrads = [
@@ -571,10 +583,9 @@ def _fab_bwd(heads, g_batch, interpret, res, dy):
     l, d = x.shape[1], x.shape[2]
     # The bwd kernel keeps the whole recomputed sub-layer live in VMEM
     # plus its fp32 weight-grad outputs (resident across the sequential
-    # grid: 16*d^2 + small ~ 9.4M at d=768); when even a single-row
-    # batch block exceeds the Mosaic scoped-vmem limit (ViT-B d=768, or
-    # the MAE decoder at L=577 — prime, so rows can't split), the
-    # compiled kernel is impossible and the XLA vjp takes over.
+    # grid: 16*d^2 + small ~ 9.4M at d=768). The kernels request
+    # vmem_limit_bytes=_VMEM_LIMIT, so ViT-B/L and the MAE decoder
+    # (L=577) all fit; only outsized shapes fall back to the XLA vjp.
     attn_out = _attn_bwd_out_bytes(d)
     oversize = not interpret and (
         _attn_bwd_stack_bytes(1, l, d) + attn_out > _VMEM_BUDGET

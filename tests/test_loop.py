@@ -1,5 +1,7 @@
 """End-to-end training recipes on synthetic data (tiny, CPU)."""
 
+import tempfile
+
 import jax.numpy as jnp
 import pytest
 
@@ -9,6 +11,9 @@ from medical_image_analysis_tpu.train.loop import fit
 
 
 def _base_cfg(task, **model_kw):
+    # fresh dir per test: fit() intentionally resumes best_score from an
+    # existing best.json, so a shared save_dir makes assertions stateful
+    save_dir = tempfile.mkdtemp(prefix="mia_test_save_")
     return make_config({
         "data": {
             "dataset": "synthetic", "batch_size": 4, "input_size": 32,
@@ -17,7 +22,7 @@ def _base_cfg(task, **model_kw):
         "model": {"task": task, **model_kw},
         "train": {
             "epochs": 1, "lr": 1e-3, "warmup_steps": 2, "log_every": 100,
-            "save_dir": "/tmp/mia_test_save",
+            "save_dir": save_dir,
         },
         "generate": {
             "num_beams": 1, "max_new_tokens": 4, "min_new_tokens": 1,
