@@ -109,19 +109,23 @@ def main():
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
 
     @jax.jit
-    def encode(params, raw, rng):
+    def encode(params, raw, rng, i):
+        # per-step key derived ON DEVICE: host-side eager fold_in
+        # between steps serializes dispatch over the relay (BENCH.md
+        # "step-dispatch pipeline")
         imgs = device_preprocess(raw, IMG)
         latent, mask, _ = model.apply(
-            params, imgs, rng=rng, mask_ratio=0.75, method=MAE.encode
+            params, imgs, rng=jax.random.fold_in(rng, i), mask_ratio=0.75,
+            method=MAE.encode,
         )
         return latent.mean()
 
     rt = _roundtrip_s()
-    float(encode(params, raw, rng))  # compile + warm
+    float(encode(params, raw, rng, 0))  # compile + warm
     t0 = time.perf_counter()
     out = None
     for i in range(STEPS):
-        out = encode(params, raw, jax.random.fold_in(rng, i))
+        out = encode(params, raw, rng, i)
     float(out)  # one sync
     dt = (time.perf_counter() - t0 - rt) / STEPS
     ips = BATCH / dt

@@ -594,9 +594,12 @@ def fit_mrg(cfg: RunConfig) -> dict:
         for i, batch in enumerate(ml.log_every(
             it, t.log_every, f"epoch {epoch}", total=steps_per_epoch
         )):
-            sub = jax.random.fold_in(rng, (epoch << 20) + i)
-            state, metrics = step(state, _device_batch(batch, mesh), sub)
-            ml.update(loss=float(metrics["loss"]))
+            # rng is folded with state.step INSIDE the compiled step;
+            # metrics stay device arrays until a log boundary — both
+            # keep the host dispatching ahead of the chip (BENCH.md
+            # "step-dispatch pipeline").
+            state, metrics = step(state, _device_batch(batch, mesh), rng)
+            ml.update(loss=metrics["loss"])
         logger.write({"epoch": epoch, "loss": ml.meters["loss"].global_avg})
         if (epoch + 1) % t.save_state_every_epochs == 0:
             save_train_state(t.save_dir, state, epoch, keep=t.keep_states)
@@ -725,9 +728,12 @@ def fit_mae(cfg: RunConfig) -> dict:
         for i, batch in enumerate(ml.log_every(
             prefetch(train_b.batches(epoch=epoch)), t.log_every, f"mae epoch {epoch}"
         )):
-            sub = jax.random.fold_in(rng, (epoch << 20) + i)
-            state, metrics = step(state, _device_batch(batch, mesh), sub)
-            ml.update(loss=float(metrics["loss"]))
+            # rng is folded with state.step INSIDE the compiled step;
+            # metrics stay device arrays until a log boundary — both
+            # keep the host dispatching ahead of the chip (BENCH.md
+            # "step-dispatch pipeline").
+            state, metrics = step(state, _device_batch(batch, mesh), rng)
+            ml.update(loss=metrics["loss"])
         if (epoch + 1) % t.save_state_every_epochs == 0:
             save_train_state(t.save_dir, state, epoch, keep=t.keep_states)
         if t.max_epochs_this_run and (
@@ -765,9 +771,12 @@ def fit_ar(cfg: RunConfig) -> dict:
         for i, batch in enumerate(ml.log_every(
             prefetch(train_b.batches(epoch=epoch)), t.log_every, f"ar epoch {epoch}"
         )):
-            sub = jax.random.fold_in(rng, (epoch << 20) + i)
-            state, metrics = step(state, _device_batch(batch, mesh), sub)
-            ml.update(loss=float(metrics["loss"]))
+            # rng is folded with state.step INSIDE the compiled step;
+            # metrics stay device arrays until a log boundary — both
+            # keep the host dispatching ahead of the chip (BENCH.md
+            # "step-dispatch pipeline").
+            state, metrics = step(state, _device_batch(batch, mesh), rng)
+            ml.update(loss=metrics["loss"])
         if (epoch + 1) % t.save_state_every_epochs == 0:
             save_train_state(t.save_dir, state, epoch, keep=t.keep_states)
         if t.max_epochs_this_run and (
@@ -828,9 +837,12 @@ def fit_clip(cfg: RunConfig) -> dict:
         for i, batch in enumerate(ml.log_every(
             prefetch(train_b.batches(epoch=epoch)), t.log_every, f"clip epoch {epoch}"
         )):
-            sub = jax.random.fold_in(rng, (epoch << 20) + i)
-            state, metrics = step(state, _device_batch(batch, mesh), sub)
-            ml.update(loss=float(metrics["loss"]))
+            # rng is folded with state.step INSIDE the compiled step;
+            # metrics stay device arrays until a log boundary — both
+            # keep the host dispatching ahead of the chip (BENCH.md
+            # "step-dispatch pipeline").
+            state, metrics = step(state, _device_batch(batch, mesh), rng)
+            ml.update(loss=metrics["loss"])
         if (epoch + 1) % t.save_state_every_epochs == 0:
             save_train_state(t.save_dir, state, epoch, keep=t.keep_states)
         if t.max_epochs_this_run and (
@@ -970,9 +982,12 @@ def fit_classify(cfg: RunConfig) -> dict:
                 batch = dict(batch, images=imgs, labels=labels)
             else:
                 batch = dict(batch, labels=labels)
-            sub = jax.random.fold_in(rng, (epoch << 20) + i)
-            state, metrics = step(state, _device_batch(batch, mesh), sub)
-            ml.update(loss=float(metrics["loss"]))
+            # rng is folded with state.step INSIDE the compiled step;
+            # metrics stay device arrays until a log boundary — both
+            # keep the host dispatching ahead of the chip (BENCH.md
+            # "step-dispatch pipeline").
+            state, metrics = step(state, _device_batch(batch, mesh), rng)
+            ml.update(loss=metrics["loss"])
         if (epoch + 1) % t.save_state_every_epochs == 0:
             save_train_state(t.save_dir, state, epoch, keep=t.keep_states)
 
@@ -1065,9 +1080,12 @@ def fit_r2gen(cfg: RunConfig) -> dict:
             prefetch(train_b.batches(epoch=epoch)), t.log_every,
             f"r2gen epoch {epoch}"
         )):
-            sub = jax.random.fold_in(rng, (epoch << 20) + i)
-            state, metrics = step(state, _device_batch(batch, mesh), sub)
-            ml.update(loss=float(metrics["loss"]))
+            # rng is folded with state.step INSIDE the compiled step;
+            # metrics stay device arrays until a log boundary — both
+            # keep the host dispatching ahead of the chip (BENCH.md
+            # "step-dispatch pipeline").
+            state, metrics = step(state, _device_batch(batch, mesh), rng)
+            ml.update(loss=metrics["loss"])
         logger.write({"epoch": epoch, "loss": ml.meters["loss"].global_avg})
         if (epoch + 1) % t.save_state_every_epochs == 0:
             save_train_state(t.save_dir, state, epoch, keep=t.keep_states)
@@ -1189,9 +1207,12 @@ def fit_lm_sft(cfg: RunConfig) -> dict:
             prefetch(train_b.batches(epoch=epoch)), t.log_every,
             f"lm epoch {epoch}"
         )):
-            sub = jax.random.fold_in(rng, (epoch << 20) + i)
-            state, metrics = step(state, _device_batch(batch, mesh), sub)
-            ml.update(loss=float(metrics["loss"]))
+            # rng is folded with state.step INSIDE the compiled step;
+            # metrics stay device arrays until a log boundary — both
+            # keep the host dispatching ahead of the chip (BENCH.md
+            # "step-dispatch pipeline").
+            state, metrics = step(state, _device_batch(batch, mesh), rng)
+            ml.update(loss=metrics["loss"])
         logger.write({"epoch": epoch, "loss": ml.meters["loss"].global_avg})
         if (epoch + 1) % t.save_state_every_epochs == 0:
             save_train_state(t.save_dir, state, epoch, keep=t.keep_states)

@@ -181,6 +181,15 @@ def make_train_step(
     )
 
     def step(state: TrainState, batch, rng):
+        # Per-step rng derivation happens ON DEVICE from the carried
+        # step counter. Folding on the host per step (the reference's
+        # torch.Generator-per-iteration shape) dispatches a chain of
+        # eager threefry ops between training steps, which serializes
+        # dispatch and costs ~110 ms/step through a remote-dispatch
+        # tunnel (measured, BENCH.md "step-dispatch pipeline"). Callers
+        # pass ONE run-level base key; uniqueness and resume determinism
+        # come from state.step.
+        rng = jax.random.fold_in(rng, state.step)
         loss, grads = vag(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -20,22 +20,43 @@ from typing import Iterable
 
 
 class SmoothedValue:
+    """Windowed metric meter.
+
+    ``update`` accepts plain floats OR device scalars and does NOT read
+    device values: converting a step's loss to ``float`` on every
+    iteration blocks the host on that step's completion, which defeats
+    async dispatch (one-step-at-a-time execution; measured +110 ms/step
+    through a remote-dispatch tunnel — BENCH.md "step-dispatch
+    pipeline"). Pending values are drained to floats lazily, the first
+    time a statistic is read (log boundaries, epoch ends) — by which
+    point the work is long finished and the read is a cheap transfer.
+    """
+
     def __init__(self, window: int = 20):
         self.deque = collections.deque(maxlen=window)
         self.total = 0.0
         self.count = 0
+        self._pending: list = []
 
-    def update(self, value: float, n: int = 1):
-        self.deque.append(value)
-        self.total += value * n
-        self.count += n
+    def update(self, value, n: int = 1):
+        self._pending.append((value, n))
+
+    def _drain(self):
+        for value, n in self._pending:
+            v = float(value)
+            self.deque.append(v)
+            self.total += v * n
+            self.count += n
+        self._pending.clear()
 
     @property
     def avg(self) -> float:
+        self._drain()
         return sum(self.deque) / max(len(self.deque), 1)
 
     @property
     def global_avg(self) -> float:
+        self._drain()
         return self.total / max(self.count, 1)
 
 
@@ -48,7 +69,7 @@ class MetricLogger:
 
     def update(self, **kwargs):
         for k, v in kwargs.items():
-            self.meters[k].update(float(v))
+            self.meters[k].update(v)  # device scalars stay unread
 
     def log_every(self, iterable: Iterable, print_freq: int,
                   header: str = "", total: int | None = None):

@@ -111,16 +111,17 @@ def main():
         lambda x: x.astype(jnp.bfloat16), params)
 
     @jax.jit
-    def encode(p, raw, k):
+    def encode(p, raw, k, i):
+        # fold on device (BENCH.md "step-dispatch pipeline")
         imgs = device_preprocess(raw, IMG)
-        latent, _, _ = model.apply(p, imgs, rng=k, mask_ratio=0.75,
-                                   method=MAE.encode)
+        latent, _, _ = model.apply(p, imgs, rng=jax.random.fold_in(k, i),
+                                   mask_ratio=0.75, method=MAE.encode)
         return latent.mean()
 
-    float(encode(params, d, rng))
+    float(encode(params, d, rng, 0))
     t0 = time.perf_counter()
     for i in range(5):
-        out = encode(params, d, jax.random.fold_in(rng, i))
+        out = encode(params, d, rng, i)
     float(out)
     t_step = (time.perf_counter() - t0) / 5
     print(f"[stage] device encode step (device-resident): "
@@ -146,7 +147,7 @@ def main():
         dev_b = q.get()
         if dev_b is None:
             break
-        out = encode(params, dev_b, jax.random.fold_in(rng, i))
+        out = encode(params, dev_b, rng, i)
         i += 1
     float(out)  # sync
     dt = time.perf_counter() - t0

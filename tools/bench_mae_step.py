@@ -78,7 +78,11 @@ def bench(img, patch, in_chans, batch, decoder_depth, steps=10,
     if remat:
         loss_fn = jax.checkpoint(loss_fn)
 
-    def step_fn(p, opt, r, step_rng):
+    def step_fn(p, opt, r, base_rng, i):
+        # fold on device — host-side per-step fold_in serializes
+        # dispatch (~110 ms/step over the relay; BENCH.md
+        # "step-dispatch pipeline")
+        step_rng = jax.random.fold_in(base_rng, i)
         loss, grads = jax.value_and_grad(loss_fn)(p, r, step_rng)
         updates, opt = tx.update(grads, opt, p)
         return optax.apply_updates(p, updates), opt, loss
@@ -103,13 +107,11 @@ def bench(img, patch, in_chans, batch, decoder_depth, steps=10,
     )
     flops = 3.0 * fwd * batch  # fwd + ~2x bwd, per step
     rt = _roundtrip_s()
-    params, opt, loss = step(params, opt, raw, rng)
+    params, opt, loss = step(params, opt, raw, rng, 0)
     float(loss)  # compile + warm
     t0 = time.perf_counter()
     for i in range(steps):
-        params, opt, loss = step(
-            params, opt, raw, jax.random.fold_in(rng, i)
-        )
+        params, opt, loss = step(params, opt, raw, rng, i + 1)
     float(loss)
     dt = (time.perf_counter() - t0 - rt) / steps
     ips = batch / dt
