@@ -353,3 +353,97 @@ def test_two_process_dcn():
     )
     assert proc.returncode == 0, proc.stderr[-2000:] + proc.stdout[-500:]
     assert "DCN OK" in proc.stdout
+
+
+def test_zero_opt_specs_never_shard_conv_spatial_axis():
+    """ZeRO moment specs must pick a feature/channel axis, never a conv
+    kernel's spatial dim: constraining adam moments on a spatial axis
+    makes GSPMD partition the conv fwd/bwd spatially, which measurably
+    changed loss (1.8e-3) and grad norm (15%) on an 8-device mesh
+    (round-5 dryrun equivalence catch)."""
+    from medical_image_analysis_tpu.train.train_state import zero_opt_specs
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(data=8, model=1)
+    opt = {
+        # 16x16x3x32 patch-embed kernel: axis0 (spatial, 16) divides 8
+        # but axis3 (out-channels, 32) is larger and must win.
+        "conv_mu": jnp.zeros((16, 16, 3, 32)),
+        "emb_mu": jnp.zeros((256, 64)),
+        "small": jnp.zeros((8, 8)),
+    }
+    specs = zero_opt_specs(opt, mesh, min_size=1)
+    assert tuple(specs["conv_mu"]) == (None, None, None, "data")
+    assert tuple(specs["emb_mu"]) == ("data", None)
+    # ties break toward the later (feature-most) axis
+    assert tuple(specs["small"]) == (None, "data")
+
+
+def test_zero_sharded_conv_grad_matches_replicated():
+    """A conv-containing model trained with ZeRO-sharded moments must
+    compute the SAME loss/grads as the replicated-opt-state step (the
+    regression the spatial-axis spec caused)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from medical_image_analysis_tpu.train.train_state import shard_state
+
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.default_rng(0)
+    params0 = {
+        "conv": jnp.asarray(
+            rng.standard_normal((16, 16, 3, 32)) * 0.05, jnp.float32
+        ),
+        "head": jnp.asarray(
+            rng.standard_normal((32, 10)) * 0.05, jnp.float32
+        ),
+    }
+    batch = {
+        "x": jnp.asarray(
+            rng.standard_normal((8, 32, 32, 3)), jnp.float32
+        ),
+        "y": jnp.asarray(rng.integers(0, 10, (8,))),
+    }
+
+    def loss_fn(p, b, r):
+        h = jax.lax.conv_general_dilated(
+            b["x"], p["conv"], window_strides=(16, 16), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        logits = h.mean(axis=(1, 2)) @ p["head"]
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, b["y"]
+        ).mean()
+
+    def run(zero):
+        params = jax.tree_util.tree_map(jnp.copy, params0)
+        tx = make_adamw(1e-3, params_for_mask=params)
+        # min_size=1 so the conv moments actually shard in this test
+        import medical_image_analysis_tpu.train.train_state as ts
+
+        old = ts.zero_opt_specs
+        ts.zero_opt_specs = lambda o, m, min_size=1: old(o, m, 1)
+        try:
+            state = shard_state(
+                TrainState.create(params, tx), mesh, None, zero_opt=zero
+            )
+            step = make_train_step(
+                loss_fn, tx, mesh=mesh, param_specs=None, accum_steps=2,
+                zero_opt=zero, donate=False, state_for_shardings=state,
+            )
+            st, m = step(state, shard_batch(mesh, batch),
+                         jax.random.PRNGKey(1))
+        finally:
+            ts.zero_opt_specs = old
+        return float(m["loss"]), float(m["grad_norm"]), st.params
+
+    l1, g1, p1 = run(True)
+    l0, g0, p0 = run(False)
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    np.testing.assert_allclose(g1, g0, rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p0)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
