@@ -339,11 +339,12 @@ def vssm_torch_to_flax(
     def t(name):
         return np.ascontiguousarray(sd[name].T)
 
+    def conv(name):
+        return np.ascontiguousarray(sd[name].transpose(2, 3, 1, 0))
+
     params = {
         "patch_embed": {
-            "kernel": np.ascontiguousarray(
-                sd["patch_embed.0.weight"].transpose(2, 3, 1, 0)
-            ),
+            "kernel": conv("patch_embed.0.weight"),
             "bias": sd["patch_embed.0.bias"],
         },
         "patch_norm": {
@@ -355,6 +356,17 @@ def vssm_torch_to_flax(
             "bias": sd["classifier.norm.bias"],
         },
     }
+    if "patch_embed.5.weight" in sd:
+        # _make_patch_embed_v2 (vmamba.py:1449-1461): Sequential
+        # [conv, Permute, norm, Permute, GELU, conv, Permute, norm].
+        params["patch_embed2"] = {
+            "kernel": conv("patch_embed.5.weight"),
+            "bias": sd["patch_embed.5.bias"],
+        }
+        params["patch_norm2"] = {
+            "scale": sd["patch_embed.7.weight"],
+            "bias": sd["patch_embed.7.bias"],
+        }
     for s, depth in enumerate(depths):
         for b in range(depth):
             p = f"layers.{s}.blocks.{b}."
@@ -369,12 +381,14 @@ def vssm_torch_to_flax(
                 },
                 "op": {
                     "in_proj": {"kernel": t(op + "in_proj.weight")},
-                    "conv2d": {
-                        "kernel": np.ascontiguousarray(
-                            sd[op + "conv2d.weight"].transpose(2, 3, 1, 0)
-                        ),
-                        "bias": sd[op + "conv2d.bias"],
-                    },
+                    "conv2d": (
+                        {
+                            "kernel": conv(op + "conv2d.weight"),
+                            "bias": sd[op + "conv2d.bias"],
+                        }
+                        if op + "conv2d.bias" in sd
+                        else {"kernel": conv(op + "conv2d.weight")}
+                    ),
                     "x_proj_w": sd[op + "x_proj_weight"],
                     "dt_proj_w": sd[op + "dt_projs_weight"],
                     "dt_bias": sd[op + "dt_projs_bias"],

@@ -44,6 +44,7 @@ class SS2D(nn.Module):
     dt_min: float = 1e-3
     dt_max: float = 0.1
     dt_init_floor: float = 1e-4
+    disable_z: bool = False
     scan_backend: str = "auto"
 
     @nn.compact
@@ -54,9 +55,18 @@ class SS2D(nn.Module):
         n = self.d_state
         k = 4
 
-        xz = nn.Dense(2 * d_inner, use_bias=self.proj_bias, name="in_proj")(x)
-        xi, z = jnp.split(xz, 2, axis=-1)
-        z = nn.silu(z)
+        if self.disable_z:
+            # "noz" forward types (vssm1 nightly configs, vmamba.py:706,
+            # :750, :1113-1127): in_proj emits only the scan branch; no
+            # gate multiply before out_proj.
+            xi = nn.Dense(d_inner, use_bias=self.proj_bias, name="in_proj")(x)
+            z = None
+        else:
+            xz = nn.Dense(
+                2 * d_inner, use_bias=self.proj_bias, name="in_proj"
+            )(x)
+            xi, z = jnp.split(xz, 2, axis=-1)
+            z = nn.silu(z)
         if self.d_conv > 1:
             xi = nn.Conv(
                 d_inner,
@@ -87,7 +97,28 @@ class SS2D(nn.Module):
         if backend == "auto":
             backend = "fused" if jax.default_backend() == "tpu" else "ref"
 
-        if backend == "fused":
+        if backend == "fused" and n == 1:
+            # d_state=1 (every vssm1 nightly config, and the backbone
+            # R2GenCSR actually loads — R2GenCSR.py:79): the batch-packed
+            # N=1 kernel runs the chain at full VPU width. Param order is
+            # already reference order [row, col, row-rev, col-rev].
+            from ..ops.scan_n1 import scan_n1_dirs
+
+            xr = xi.reshape(b, h * w, d_inner)
+            xc = xi.transpose(0, 2, 1, 3).reshape(b, h * w, d_inner)
+            y_f = scan_n1_dirs(
+                xr, xc, x_proj_w, dt_proj_w, dt_bias, a, d_skip,
+                delta_softplus=True,
+            )
+            y_row = y_f[:, 0] + y_f[:, 2]
+            y_col = y_f[:, 1] + y_f[:, 3]
+            y_col = (
+                y_col.reshape(b, w, h, d_inner)
+                .transpose(0, 2, 1, 3)
+                .reshape(b, h * w, d_inner)
+            )
+            y = y_row + y_col
+        elif backend == "fused":
             # Fused kernel: cross-scan layouts ride the kernel's index
             # maps (dirs [row, row-rev, col, col-rev]); the param axis
             # stays in reference order [row, col, row-rev, col-rev], so
@@ -133,7 +164,9 @@ class SS2D(nn.Module):
                 y_dirs = jnp.stack(ys, axis=1)
             y = cross_merge(y_dirs, h, w)  # (B, L, Din)
         y = nn.LayerNorm(name="out_norm")(y)
-        y = y.reshape(b, h, w, d_inner) * z
+        y = y.reshape(b, h, w, d_inner)
+        if z is not None:
+            y = y * z
         out = nn.Dense(self.d_model, use_bias=self.proj_bias, name="out_proj")(y)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out
@@ -146,6 +179,8 @@ class VSSBlock(nn.Module):
     d_state: int = 16
     ssm_ratio: float = 2.0
     ssm_conv: int = 3
+    conv_bias: bool = True
+    disable_z: bool = False
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     scan_backend: str = "auto"
@@ -159,6 +194,8 @@ class VSSBlock(nn.Module):
                 d_state=self.d_state,
                 ssm_ratio=self.ssm_ratio,
                 d_conv=self.ssm_conv,
+                conv_bias=self.conv_bias,
+                disable_z=self.disable_z,
                 scan_backend=self.scan_backend,
                 name="op",
             )(y, deterministic)
@@ -182,9 +219,12 @@ class VSSM(nn.Module):
     patch_size: int = 4
     d_state: int = 16
     ssm_ratio: float = 2.0
+    conv_bias: bool = True
+    disable_z: bool = False
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.1
     patch_norm: bool = True
+    patch_embed_version: str = "v1"
     scan_backend: str = "auto"
 
     @nn.compact
@@ -192,12 +232,30 @@ class VSSM(nn.Module):
         self, x: jax.Array, pool: bool = True, deterministic: bool = True
     ) -> jax.Array:
         p = self.patch_size
-        x = nn.Conv(
-            self.dims[0], kernel_size=(p, p), strides=(p, p),
-            padding="VALID", name="patch_embed",
-        )(x)
-        if self.patch_norm:
-            x = nn.LayerNorm(name="patch_norm")(x)
+        if self.patch_embed_version == "v2":
+            # _make_patch_embed_v2 (vmamba.py:1449-1461): two 3x3/s2
+            # convs with LN + GELU between, LN after.
+            assert p == 4
+            x = nn.Conv(
+                self.dims[0] // 2, kernel_size=(3, 3), strides=(2, 2),
+                padding=((1, 1), (1, 1)), name="patch_embed",
+            )(x)
+            if self.patch_norm:
+                x = nn.LayerNorm(name="patch_norm")(x)
+            x = nn.gelu(x, approximate=False)
+            x = nn.Conv(
+                self.dims[0], kernel_size=(3, 3), strides=(2, 2),
+                padding=((1, 1), (1, 1)), name="patch_embed2",
+            )(x)
+            if self.patch_norm:
+                x = nn.LayerNorm(name="patch_norm2")(x)
+        else:
+            x = nn.Conv(
+                self.dims[0], kernel_size=(p, p), strides=(p, p),
+                padding="VALID", name="patch_embed",
+            )(x)
+            if self.patch_norm:
+                x = nn.LayerNorm(name="patch_norm")(x)
 
         total = sum(self.depths)
         dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
@@ -208,6 +266,8 @@ class VSSM(nn.Module):
                     dim=self.dims[stage],
                     d_state=self.d_state,
                     ssm_ratio=self.ssm_ratio,
+                    conv_bias=self.conv_bias,
+                    disable_z=self.disable_z,
                     mlp_ratio=self.mlp_ratio,
                     drop_path=dpr[idx],
                     scan_backend=self.scan_backend,
@@ -231,10 +291,27 @@ class VSSM(nn.Module):
         return x
 
 
+_V1 = dict(
+    d_state=1, disable_z=True, conv_bias=False, patch_embed_version="v2",
+)
 VSSM_CONFIGS = {
     "vssm_tiny": dict(depths=(2, 2, 5, 2), dims=(96, 192, 384, 768)),
     "vssm_small": dict(depths=(2, 2, 15, 2), dims=(96, 192, 384, 768)),
     "vssm_base": dict(depths=(2, 2, 15, 2), dims=(128, 256, 512, 1024)),
+    # vssm1 "nightly" family — the configs the reference actually ships
+    # and benchmarks: d_state=1, noz forward, conv bias off, patch embed
+    # v2 (VMamba/classification/configs/vssm1/*.yaml; R2GenCSR.py:79
+    # loads vssm1_base as the production vision tower; the published
+    # speed table VMamba/README.md:44-66 is vssm_tiny_224_0220).
+    "vssm1_tiny": dict(
+        depths=(2, 2, 4, 2), dims=(96, 192, 384, 768), **_V1
+    ),
+    "vssm1_small": dict(
+        depths=(2, 2, 15, 2), dims=(96, 192, 384, 768), **_V1
+    ),
+    "vssm1_base": dict(
+        depths=(2, 2, 15, 2), dims=(128, 256, 512, 1024), **_V1
+    ),
 }
 
 

@@ -689,6 +689,7 @@ def mamba_fused_dirs(
     block_d: int | None = None,
     interpret: bool | None = None,
     use_conv: bool = True,
+    seq: bool = True,
 ) -> jax.Array:
     """Fused multi-direction Mamba inner function.
 
@@ -711,9 +712,14 @@ def mamba_fused_dirs(
     if conv_w is None:
         use_conv = False
         conv_w = jnp.zeros((k_dirs, 4, d_in), jnp.float32)
-    seq = True
     if chunk is None:
-        chunk = _pick_chunk(xr.shape[1])
+        # The fused layer prefers a bigger chunk than the standalone
+        # scan: the r5 sweep (tools/sweep_fused_layer.py, BENCH_QUEUE_r5/
+        # sweep_fused_layer.log) has c=128 at 70.8 ms vs 74.4 fwd+bwd on
+        # the L=3136 stage and tied-or-better at L=784; short sequences
+        # keep the standalone heuristic (c=32).
+        seq_len = xr.shape[1]
+        chunk = 128 if seq_len >= 512 else _pick_chunk(seq_len)
     if block_d is None:
         block_d = _pick_block_d(d_in)
     if not interpret:

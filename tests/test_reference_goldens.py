@@ -262,6 +262,50 @@ def test_vssm_import_output_parity():
     np.testing.assert_allclose(y, y_ref, rtol=5e-3, atol=1e-4)
 
 
+def test_vssm1_noz_import_output_parity():
+    """Reference *nightly* VSSM (``forward_type=v2noz``, d_state=1, conv
+    bias off, patchembed v2 — the exact shape class of every shipped
+    ``configs/vssm1/*.yaml`` and of R2GenCSR's production vision tower,
+    R2GenCSR.py:79) vs our VSSM with the vssm1 options, params mapped
+    through ``vssm_torch_to_flax``."""
+    from medical_image_analysis_tpu.ckpt.torch_import import (
+        vssm_torch_to_flax,
+    )
+    from medical_image_analysis_tpu.models.vmamba import VSSM
+
+    refv = _ref_vmamba()
+    torch.manual_seed(0)
+    m = refv.VSSM(
+        patch_size=4, in_chans=3, num_classes=10, depths=[1, 1],
+        dims=[16, 32], ssm_d_state=1, ssm_ratio=2.0, ssm_conv=3,
+        ssm_conv_bias=False, forward_type="v2noz", mlp_ratio=4.0,
+        drop_path_rate=0.0, downsample_version="v3",
+        patchembed_version="v2", norm_layer="LN",
+    ).eval()
+    x = torch.randn(2, 3, 32, 32) * 0.5
+    with torch.no_grad():
+        y_ref = m(x, global_features=True).numpy()
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+    params = vssm_torch_to_flax(sd, depths=[1, 1])
+    ours = VSSM(depths=(1, 1), dims=(16, 32), d_state=1, disable_z=True,
+                conv_bias=False, patch_embed_version="v2",
+                drop_path_rate=0.0, scan_backend="ref")
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    y = np.asarray(ours.apply(params, xj, pool=True))
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(y, y_ref, rtol=5e-3, atol=1e-4)
+
+    # Model-level wiring parity of the batch-packed N=1 kernel path
+    # (interpret mode off-chip) vs the jnp oracle path.
+    y_fused = np.asarray(
+        VSSM(depths=(1, 1), dims=(16, 32), d_state=1, disable_z=True,
+             conv_bias=False, patch_embed_version="v2",
+             drop_path_rate=0.0, scan_backend="fused")
+        .apply(params, xj, pool=True)
+    )
+    np.testing.assert_allclose(y_fused, y, rtol=2e-3, atol=2e-4)
+
+
 def test_arm_v3_mixer_import_output_parity():
     """Reference ``mamba_simple.Mamba`` bimamba-v3 forward (4-direction
     fast path with middle-cls splicing) vs our ``MambaMixer`` with
