@@ -24,6 +24,10 @@ class DataConfig:
     dataset: str = "iu_xray"
     annotation_path: str = ""
     synthetic_train_size: int = 0  # synthetic_learnable train set (0 = 512)
+    # synthetic_learnable: reserve this many of the 64 finding
+    # combinations exclusively for val/test (compositional holdout —
+    # val measures unseen combinations of seen sentences, not recall)
+    synthetic_holdout: int = 0
     base_dir: str = ""
     batch_size: int = 6
     val_batch_size: int = 0  # eval-split batch size; 0 = batch_size

@@ -421,14 +421,31 @@ def learnable_report(bits: int) -> str:
 
 
 def learnable_synthetic_annotations(
-    n_train: int = 512, n_val: int = 64, n_test: int = 64, seed: int = 0
+    n_train: int = 512, n_val: int = 64, n_test: int = 64, seed: int = 0,
+    holdout: int = 0,
 ) -> dict[str, list[Sample]]:
-    """Label-grammar corpus; the 6-bit label vector rides in the id."""
+    """Label-grammar corpus; the 6-bit label vector rides in the id.
+
+    ``holdout > 0`` reserves that many of the 64 finding *combinations*
+    exclusively for val/test (compositional generalization: every
+    sentence is seen in training, the held-out combinations never are),
+    so val BLEU measures composition rather than recall.
+    """
     rng = np.random.default_rng(seed)
     n_f = len(LEARNABLE_FINDINGS)
+    all_bits = np.arange(2**n_f)
+    if holdout:
+        held = rng.choice(all_bits, size=holdout, replace=False)
+        held_set = set(int(b) for b in held)
+        train_bits = np.asarray(
+            [b for b in all_bits if int(b) not in held_set]
+        )
+        eval_bits = np.asarray(sorted(held_set))
+    else:
+        train_bits = eval_bits = all_bits
 
-    def make(i):
-        bits = int(rng.integers(0, 2**n_f))
+    def make(i, pool):
+        bits = int(pool[rng.integers(0, len(pool))])
         report = learnable_report(bits)
         drop = rng.integers(0, n_f)
         draft = " . ".join(
@@ -441,9 +458,9 @@ def learnable_synthetic_annotations(
         )
 
     return {
-        "train": [make(i) for i in range(n_train)],
-        "val": [make(10_000 + i) for i in range(n_val)],
-        "test": [make(20_000 + i) for i in range(n_test)],
+        "train": [make(i, train_bits) for i in range(n_train)],
+        "val": [make(10_000 + i, eval_bits) for i in range(n_val)],
+        "test": [make(20_000 + i, eval_bits) for i in range(n_test)],
     }
 
 

@@ -166,7 +166,8 @@ def build_data(cfg: RunConfig):
         )
 
         ann = learnable_synthetic_annotations(
-            n_train=d.synthetic_train_size or 512
+            n_train=d.synthetic_train_size or 512,
+            holdout=d.synthetic_holdout,
         )
         loader = learnable_image_loader(d.input_size, d.num_views)
     else:

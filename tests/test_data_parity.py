@@ -170,3 +170,29 @@ def test_meteor_paraphrase_tables(tmp_path):
     without = meteor(gts, res)
     with_tables = meteor(gts, res, tables=tables)
     assert with_tables > without
+
+
+def test_learnable_holdout_disjoint_combinations():
+    """Compositional holdout: val/test bit-combinations never occur in
+    train; every individual sentence still does (composition, not
+    vocabulary, is what eval measures)."""
+    from medical_image_analysis_tpu.data.datasets import (
+        LEARNABLE_FINDINGS,
+        learnable_synthetic_annotations,
+    )
+
+    ann = learnable_synthetic_annotations(
+        n_train=256, n_val=32, n_test=32, holdout=16
+    )
+
+    def bits_of(split):
+        return {int(s.id.rsplit("_", 1)[1]) for s in ann[split]}
+
+    tr, va, te = bits_of("train"), bits_of("val"), bits_of("test")
+    assert not (tr & va) and not (tr & te)
+    assert va | te  # non-empty eval pools
+    # every finding appears in both polarities in train (sentences seen)
+    n_f = len(LEARNABLE_FINDINGS)
+    for k in range(n_f):
+        assert any((b >> k) & 1 for b in tr)
+        assert any(not ((b >> k) & 1) for b in tr)

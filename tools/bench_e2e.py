@@ -21,7 +21,13 @@ Reference point: the reference's loader is PIL decode + torchvision
 transforms in DataLoader workers (R2GenCSR/dataset/data_helper.py:74-80)
 feeding a GPU step; same topology, measured here bytes->step.
 
-Usage: python tools/bench_e2e.py [batches] [batch_size]
+Usage: python tools/bench_e2e.py [batches] [batch_size] [--packed]
+
+``--packed`` additionally measures the round-5 packed-shard path
+(tools/pack_shards.py + data/packed.py): offline decode once, then the
+producer reads pre-decoded uint8 memmap records — the input pipeline a
+production deployment would run, and the proof that bytes->step is not
+JPEG-bound by construction.
 """
 
 import io
@@ -165,6 +171,67 @@ def main():
           "measures this host's input path, not the chip — chip ceiling "
           "is bench.py's headline; decode scales per-core on real hosts",
           flush=True)
+
+    if "--packed" not in sys.argv:
+        return
+
+    # --- packed-shard path (decode done offline, reads are memmap) -----
+    import tempfile
+
+    from medical_image_analysis_tpu.data.packed import (
+        PackedDataset, pack_images,
+    )
+
+    n_imgs = 4 * batch
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        pack_images(
+            ((f"i{j}", blobs[j % len(blobs)]) for j in range(n_imgs)),
+            td, IMG,
+        )
+        t_pack = time.perf_counter() - t0
+        ds = PackedDataset(td)
+        print(f"[packed] offline pack: {n_imgs / t_pack:.0f} img/s "
+              f"(one-time cost)", flush=True)
+
+        rng_np = np.random.default_rng(0)
+
+        def packed_batch(_seed: int) -> np.ndarray:
+            idx = rng_np.integers(0, len(ds), batch)
+            return ds.batch(idx)
+
+        packed_batch(0)
+        t0 = time.perf_counter()
+        for i in range(5):
+            host_b = packed_batch(i)
+        t_read = (time.perf_counter() - t0) / 5
+        print(f"[packed stage] memmap read+stack: "
+              f"{batch / t_read:.0f} img/s", flush=True)
+
+        q2: queue.Queue = queue.Queue(maxsize=2)
+
+        def producer2():
+            for i in range(n_batches):
+                q2.put(jax.device_put(packed_batch(i)))
+            q2.put(None)
+
+        th2 = threading.Thread(target=producer2, daemon=True)
+        t0 = time.perf_counter()
+        th2.start()
+        i = 0
+        out = None
+        while True:
+            dev_b = q2.get()
+            if dev_b is None:
+                break
+            out = encode(params, dev_b, rng, i)
+            i += 1
+        float(out)
+        dt = time.perf_counter() - t0
+        e2e_p = n_batches * batch / dt
+        print(f"[packed e2e] bytes->step sustained: {e2e_p:.0f} img/s "
+              f"({e2e_p / (batch / t_step):.0%} of the device-step "
+              f"stage)", flush=True)
 
 
 if __name__ == "__main__":
