@@ -8,10 +8,14 @@ pydicom in the image.
 
 Supported: DICOM Part 10 files (128-byte preamble + ``DICM``) and bare
 datasets, explicit & implicit VR little endian, with pixel data either
-native/uncompressed (transfer syntaxes 1.2.840.10008.1.2{,.1}) or RLE
+native/uncompressed (transfer syntaxes 1.2.840.10008.1.2{,.1}), RLE
 Lossless (1.2.840.10008.1.2.5, PS3.5 Annex G: encapsulated fragments,
 64-byte segment-offset header, PackBits segments stored as byte planes
-MSB-first).  8/16-bit MONOCHROME1/2 and RGB; MONOCHROME1 is inverted,
+MSB-first), or JPEG Lossless (1.2.840.10008.1.2.4.{57,70}, ITU T.81
+process 14 / SOF3: LUT-decoded Huffman categories + vectorized
+predictor reconstruction; SV1 — all of syntax .70 — and SV2 run as two
+numpy cumsums).  Decode cost for compressed syntaxes is paid ONCE when
+packing shards (tools/pack_shards.py); training reads are memmaps.  8/16-bit MONOCHROME1/2 and RGB; MONOCHROME1 is inverted,
 Rescale slope/intercept applied, then windowed (WindowCenter/Width when
 present, else full-range min/max) to uint8 — the standard CXR viewing
 transform, producing the same uint8 (H, W) array a JPEG export of the
@@ -29,6 +33,9 @@ _EXPLICIT_LONG_VRS = {b"OB", b"OW", b"OF", b"OL", b"OD", b"SQ", b"UC",
                       b"UR", b"UT", b"UN"}
 _RLE_TS = "1.2.840.10008.1.2.5"
 _IMPLICIT_TS = "1.2.840.10008.1.2"
+# JPEG Lossless (process 14): .57 = any selection value, .70 = SV1
+# (first-order prediction) — the most common PACS export syntax.
+_JPEG_LL_TS = {"1.2.840.10008.1.2.4.57", "1.2.840.10008.1.2.4.70"}
 
 
 class DicomError(ValueError):
@@ -85,10 +92,9 @@ def _rle_unpack(seg: bytes, out_len: int) -> np.ndarray:
     return out
 
 
-def _decode_rle(pixel_blob: bytes, rows: int, cols: int,
-                samples: int, bytes_per_sample: int) -> np.ndarray:
-    # Encapsulated: item tags (FFFE,E000) — first is the Basic Offset
-    # Table, the second the (single-frame) RLE frame.
+def _fragments(pixel_blob: bytes) -> list[bytes]:
+    """Encapsulated pixel data -> fragments. Item tags (FFFE,E000); the
+    first item is the Basic Offset Table, the rest the frame data."""
     pos = 0
     frags = []
     while pos + 8 <= len(pixel_blob):
@@ -102,8 +108,13 @@ def _decode_rle(pixel_blob: bytes, rows: int, cols: int,
         frags.append(pixel_blob[pos:pos + length])
         pos += length
     if len(frags) < 2:
-        raise DicomError("RLE pixel data has no frame fragment")
-    frame = frags[1]
+        raise DicomError("encapsulated pixel data has no frame fragment")
+    return frags
+
+
+def _decode_rle(pixel_blob: bytes, rows: int, cols: int,
+                samples: int, bytes_per_sample: int) -> np.ndarray:
+    frame = _fragments(pixel_blob)[1]
     n_segs = struct.unpack_from("<I", frame, 0)[0]
     offsets = struct.unpack_from("<15I", frame, 4)[:n_segs]
     if n_segs != samples * bytes_per_sample:
@@ -122,6 +133,202 @@ def _decode_rle(pixel_blob: bytes, rows: int, cols: int,
             shift = 8 * (bytes_per_sample - 1 - b)
             out[s] += planes[s * bytes_per_sample + b].astype(np.uint32) << shift
     return out.reshape(samples, rows, cols)
+
+
+# --------------------------------------------------------------------------
+# JPEG Lossless (ITU T.81 process 14, SOF3)
+# --------------------------------------------------------------------------
+
+
+def _huff_lut(counts: list[int], symbols: list[int]):
+    """Canonical JPEG Huffman table -> 16-bit-peek LUT of
+    (symbol, code_length); one array lookup decodes any code."""
+    lut = np.zeros(1 << 16, np.uint32)  # (sym << 8) | len
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            sym = symbols[k]
+            k += 1
+            lo = code << (16 - ln)
+            hi = (code + 1) << (16 - ln)
+            lut[lo:hi] = (sym << 8) | ln
+            code += 1
+        code <<= 1
+    return lut
+
+
+class _BitReader:
+    """MSB-first bit reader over an un-stuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 48 and self.pos < len(self.data):
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        if self.nbits <= 48:  # pad past the end (spec: 1-fill)
+            pad = 48 - self.nbits + 8
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            self.nbits += pad
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def take(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _extend(v: int, ssss: int) -> int:
+    """DIFF magnitude decode (T.81 F.2.2.1): category + bits -> signed."""
+    if ssss == 0:
+        return 0
+    if ssss == 16:  # special: difference is -32768 (no extra bits)
+        return 32768
+    if v < (1 << (ssss - 1)):
+        return v - (1 << ssss) + 1
+    return v
+
+
+def _decode_jpeg_lossless(frame: bytes) -> np.ndarray:
+    """JPEG lossless (SOF3) scan -> int32 (rows, cols); single component.
+
+    Supports selection values 1-7 (vectorized reconstruction for SV1/2 —
+    SV1 is all of transfer syntax .70); no restart intervals.
+    """
+    if frame[:2] != b"\xff\xd8":
+        raise DicomError("not a JPEG stream (no SOI)")
+    pos = 2
+    precision = rows = cols = None
+    ncomp = 0
+    tables: dict[int, np.ndarray] = {}
+    psv = pt = None
+    table_id = 0
+    while pos + 4 <= len(frame):
+        if frame[pos] != 0xFF:
+            raise DicomError(f"bad marker alignment at {pos}")
+        marker = frame[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seg_len,) = struct.unpack_from(">H", frame, pos)
+        seg = frame[pos + 2 : pos + seg_len]
+        if marker == 0xC3:  # SOF3
+            precision, rows, cols, ncomp = struct.unpack_from(">BHHB", seg, 0)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise DicomError(f"not a lossless JPEG (SOF {marker:02x})")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            o = 0
+            while o < len(seg):
+                tc_th = seg[o]
+                counts = list(seg[o + 1 : o + 17])
+                nsym = sum(counts)
+                syms = list(seg[o + 17 : o + 17 + nsym])
+                tables[tc_th & 0x0F] = _huff_lut(counts, syms)
+                o += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack_from(">H", seg, 0)
+            if ri:
+                raise DicomError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if ns != 1 or ncomp != 1:
+                raise DicomError(
+                    f"only single-component lossless supported "
+                    f"(ns={ns}, nf={ncomp})"
+                )
+            table_id = seg[2] >> 4
+            psv = seg[1 + 2 * ns]
+            pt = seg[3 + 2 * ns] & 0x0F
+            pos += seg_len
+            break
+        pos += seg_len
+    if rows is None or psv is None:
+        raise DicomError("missing SOF3/SOS")
+    if psv < 1 or psv > 7:
+        raise DicomError(f"bad selection value {psv}")
+
+    # Un-stuff the entropy segment (FF 00 -> FF; stop at any marker).
+    raw = bytearray()
+    i = pos
+    n = len(frame)
+    while i < n:
+        b = frame[i]
+        if b == 0xFF:
+            nxt = frame[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                raw.append(0xFF)
+                i += 2
+                continue
+            break
+        raw.append(b)
+        i += 1
+
+    lut = tables[table_id]
+    br = _BitReader(bytes(raw))
+    npix = rows * cols
+    diffs = np.empty(npix, np.int32)
+    peek16 = br.peek16
+    take = br.take
+    for j in range(npix):
+        e = int(lut[peek16()])
+        ssss = e >> 8
+        take(e & 0xFF)
+        diffs[j] = _extend(take(ssss if ssss < 16 else 0), ssss)
+    diffs = diffs.reshape(rows, cols)
+
+    default = 1 << (precision - pt - 1)
+    mask = 0xFFFF  # modulo-65536 arithmetic (T.81 H.1.2.1)
+    if psv == 1:
+        # first column: Rb chain; first row sample 0: default
+        out = diffs.copy()
+        out[:, 0] = np.cumsum(diffs[:, 0], dtype=np.int64) + default
+        out = np.cumsum(out, axis=1, dtype=np.int64) & mask
+    elif psv == 2:
+        # row 0: Ra chain seeded by default; r>0 predict from above (Rb)
+        out = diffs.copy()
+        out[0, :] = np.cumsum(diffs[0, :], dtype=np.int64) + default
+        out = np.cumsum(out, axis=0, dtype=np.int64) & mask
+    else:
+        out = np.zeros((rows, cols), np.int64)
+        for r in range(rows):
+            for c in range(cols):
+                if r == 0 and c == 0:
+                    pred = default
+                elif r == 0:
+                    pred = out[0, c - 1]
+                elif c == 0:
+                    pred = out[r - 1, 0]
+                else:
+                    ra, rb, rc = out[r, c - 1], out[r - 1, c], out[r - 1, c - 1]
+                    pred = {
+                        3: rc,
+                        4: ra + rb - rc,
+                        5: ra + ((rb - rc) >> 1),
+                        6: rb + ((ra - rc) >> 1),
+                        7: (ra + rb) >> 1,
+                    }[psv]
+                out[r, c] = (pred + diffs[r, c]) & mask
+    if pt:
+        out = out << pt
+    return out.astype(np.int32)
 
 
 def decode_dicom(data: bytes) -> np.ndarray:
@@ -179,6 +386,19 @@ def decode_dicom(data: bytes) -> np.ndarray:
     bps = bits_alloc // 8
     if ts == _RLE_TS:
         arr = _decode_rle(pixel, rows, cols, samples, bps).astype(np.float32)
+    elif ts in _JPEG_LL_TS:
+        if samples != 1:
+            raise DicomError("JPEG lossless: single-sample only")
+        frame = b"".join(_fragments(pixel)[1:])
+        dec = _decode_jpeg_lossless(frame)
+        if dec.shape != (rows, cols):
+            raise DicomError(
+                f"JPEG frame {dec.shape} != dataset ({rows}, {cols})"
+            )
+        if pixel_rep == 1:  # signed stored values are mod-2^16 coded
+            dec = dec.astype(np.uint16).view(np.int16) \
+                if bps == 2 else dec.astype(np.uint8).view(np.int8)
+        arr = dec.astype(np.float32)[None]
     else:
         dt = {1: np.uint8, 2: np.uint16}[bps]
         arr = np.frombuffer(pixel, dt, rows * cols * samples)
