@@ -43,6 +43,15 @@ per-d-block dx_dbl partials, and fp32-accumulated dA/dD/d dt_bias/dW_dt
 
 Reference spec: ``selective_scan_easy`` (test_selective_scan_easy.py:
 14-98) restricted to N=1; forced-fp32 recurrence per vmamba.py:394-404.
+
+Numerics: the recurrence (a/b build, chain, C-reduce) is fp32 on the
+VPU; the in-kernel ``dt_proj`` matmuls request fp32 accumulation
+(``preferred_element_type``), which Mosaic lowers to multi-pass bf16
+on the MXU — tighter than XLA's default-precision einsum, and far
+tighter than the reference's fastest shipped config (``ssoflex +
+i16o32`` feeds the CUDA scan *fp16* inputs, VMamba/README.md:64-72).
+The on-chip parity test (test_tpu_parity.py) pins compiled numerics
+against the fp32 oracle; interpret-mode tests are exact fp32.
 """
 
 from __future__ import annotations
@@ -97,7 +106,8 @@ def _fwd_kernel(
 
     dtr = xd[:, :, :rank].reshape(chunk * 8, rank)
     dt = jnp.dot(
-        dtr, wdt_ref[0], preferred_element_type=jnp.float32
+        dtr, wdt_ref[0], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     ) + db_ref[0, 0][None, :]
     if delta_softplus:
         dt = jax.nn.softplus(dt)
@@ -109,16 +119,22 @@ def _fwd_kernel(
     a = jnp.exp(dt * a_ref[0, 0][None, None, :])
     b = dt * u * bt[:, :, None]
 
+    # Chain loop carries ONLY the FMA (the proven discipline of
+    # selective_scan_pallas._scan_states); every per-position op (the
+    # C-scale lane-broadcast, the D-skip) is vectorized over the chunk
+    # AFTER the stack — the pure-FMA dependent chain pipelines better
+    # than one carrying per-t broadcasts.
     h = h_ref[:]
-    ys = [None] * chunk
+    hs = [None] * chunk
     order = range(chunk - 1, -1, -1) if reverse else range(chunk)
-    dskip = d_ref[0, 0][None, :]
     for t in order:
         h = a[t] * h + b[t]
-        ys[t] = ct[t][:, None] * h + dskip * u[t]
+        hs[t] = h
     h_ref[:] = h
 
-    y_ref[0, 0] = jnp.stack(ys).astype(y_ref.dtype)
+    hs = jnp.stack(hs)                            # (chunk, 8, bd)
+    y = ct[:, :, None] * hs + d_ref[0, 0][None, None, :] * u
+    y_ref[0, 0] = y.astype(y_ref.dtype)
 
 
 def _bwd_kernel(
@@ -145,7 +161,8 @@ def _bwd_kernel(
 
     dtr = xd[:, :, :rank].reshape(chunk * 8, rank)
     dt_raw = jnp.dot(
-        dtr, wdt_ref[0], preferred_element_type=jnp.float32
+        dtr, wdt_ref[0], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     ) + db_ref[0, 0][None, :]
     if delta_softplus:
         dt = jax.nn.softplus(dt_raw)
@@ -195,6 +212,7 @@ def _bwd_kernel(
     ddtr = jnp.dot(
         ddt_tot.reshape(chunk * 8, bd), wdt_ref[0].T,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     ).reshape(chunk, 8, rank)
     dbt = jnp.sum(ps * dt * u, axis=2)            # (chunk, 8)
     dct = jnp.sum(hs * dy, axis=2)
@@ -208,6 +226,7 @@ def _bwd_kernel(
     ddtw_ref[0] += jnp.dot(
         dtr.T, ddt_tot.reshape(chunk * 8, bd),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
 
@@ -232,6 +251,16 @@ def _fwd_call(
     u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec,
     delta_softplus, chunk, block_d, interpret, reverse,
 ):
+    # Pin operands to default layout (see scan_n1_dirs: XLA:TPU layout
+    # assignment otherwise propagates producer-transpose layouts into
+    # the Mosaic custom-call buffers, which Mosaic reads/writes in
+    # default layout only — observed on-chip under
+    # jax_default_matmul_precision='highest' producers).
+    (u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec) = (
+        jax.lax.optimization_barrier(
+            (u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec)
+        )
+    )
     s, bt, lp, _, dp = u_srt.shape
     rank = wdt_t.shape[1]
     c = xdbl.shape[-1]
@@ -279,6 +308,8 @@ def _fwd_call(
         ),
         interpret=interpret,
     )(u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec)
+    # Pin results before any consumer can impose a transpose layout.
+    y, carries = jax.lax.optimization_barrier((y, carries))
     return y, carries
 
 
@@ -297,6 +328,13 @@ def _core_bwd(
     delta_softplus, chunk, block_d, interpret, reverse, res, dy,
 ):
     u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec, carries = res
+    # dy arrives through the merge's transpose VJPs; residuals may be
+    # re-laid-out in the grad program. Pin everything (see _fwd_call).
+    (u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec, carries, dy) = (
+        jax.lax.optimization_barrier(
+            (u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec, carries, dy)
+        )
+    )
     s, bt, lp, _, dp = u_srt.shape
     rank = wdt_t.shape[1]
     c = xdbl.shape[-1]
@@ -366,6 +404,12 @@ def _core_bwd(
         interpret=interpret,
     )(u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec, carries, dy)
 
+    # Same default-layout pinning as the forward merge: du/dxdbl/ddtw
+    # cotangents flow into transpose VJPs (of _to_tiles and the
+    # weight .transpose), which otherwise propagate their layout back
+    # into the Mosaic result buffers (observed on-chip: exactly the
+    # transpose-fed cotangents corrupt; reshape-fed ones are exact).
+    outs = jax.lax.optimization_barrier(outs)
     du, dxd_p, da_p, dd_p, ddb_p, ddtw_p = outs
     dxdbl = jnp.sum(dxd_p, axis=2)                        # over d-blocks
     # Weights are shared across the batch tiles of each direction: the
@@ -477,6 +521,13 @@ def scan_n1_dirs(
             _pad_to(d_vec[lo : lo + 2], block_d, 1)[:, None, :],
             delta_softplus, chunk, block_d, interpret, reverse,
         )                                                  # (2,BT,Lp,8,Dp)
+        # Result/operand layout pinning lives in _fwd_call/_core_bwd:
+        # without it, XLA:TPU propagates the merge transposes' layout
+        # into the Mosaic custom-call buffers, which Mosaic reads and
+        # writes in default layout only — the merge then reads
+        # scrambled data (round-5 on-chip bisect: the launch is
+        # bit-exact in isolation and corrupts only with the transpose
+        # epilogue in-graph; max abs err 0.64).
         ys.append(y[:, :, :, :, :d_in])
     y_all = jnp.stack(
         [

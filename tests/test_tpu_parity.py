@@ -160,3 +160,84 @@ def test_compiled_swin_window_attn_matches_unfused():
             np.asarray(y_f, np.float32), np.asarray(y_p, np.float32),
             rtol=5e-2, atol=5e-2,
         )
+
+
+def test_compiled_scan_n1_fwd_bwd_matches_oracle():
+    """Batch-packed d_state=1 kernel, COMPILED (Mosaic), fwd + grads vs
+    the exact fp32 jnp oracle.  The compiled kernel is bit-identical to
+    interpret mode (round-5 bisect); residual tolerance covers only the
+    oracle's own default-precision einsums.  This test also guards the
+    layout-pinning barriers in scan_n1.py: without them XLA propagates
+    the merge/VJP transpose layouts into the Mosaic result buffers and
+    errors reach O(0.6) absolute."""
+    from medical_image_analysis_tpu.ops.scan_n1 import scan_n1_dirs
+    from medical_image_analysis_tpu.ops.selective_scan import (
+        selective_scan_ref,
+    )
+
+    rng = np.random.default_rng(0)
+    b, l, d, rank = 8, 196, 128, 8
+
+    def f(*shape, scale=0.4):
+        return jnp.asarray(rng.standard_normal(shape) * scale, jnp.float32)
+
+    xr, xc = f(b, l, d), f(b, l, d)
+    p = dict(
+        x_proj_w=f(4, rank + 2, d),
+        dt_proj_w=f(4, d, rank),
+        dt_bias=f(4, d, scale=0.2),
+        A=-jnp.exp(f(4, d, 1, scale=0.3)),
+        D=f(4, d),
+    )
+
+    def oracle(xr, xc, p):
+        srcs, revs = (xr, xc, xr, xc), (False, False, True, True)
+        ys = []
+        for k in range(4):
+            u = srcs[k]
+            if revs[k]:
+                u = jnp.flip(u, axis=1)
+            x_dbl = jnp.einsum("bld,cd->blc", u, p["x_proj_w"][k])
+            dt = jnp.einsum(
+                "blr,dr->bld", x_dbl[..., :rank], p["dt_proj_w"][k]
+            )
+            y = selective_scan_ref(
+                u, dt, p["A"][k], x_dbl[..., rank : rank + 1],
+                x_dbl[..., rank + 1 :], p["D"][k], p["dt_bias"][k],
+                delta_softplus=True,
+            )
+            ys.append(jnp.flip(y, axis=1) if revs[k] else y)
+        return jnp.stack(ys, axis=1)
+
+    w = f(4, l, d)
+
+    def loss_k(xr, xc, p):
+        return jnp.sum(
+            scan_n1_dirs(xr, xc, **p, interpret=False) * w[None]
+        )
+
+    def loss_o(xr, xc, p):
+        return jnp.sum(oracle(xr, xc, p) * w[None])
+
+    # args-style jit (NOT closure constants): the persistent compile
+    # cache can serve a stale executable for no-arg closure jits.
+    gk = jax.jit(jax.grad(loss_k, argnums=(0, 1, 2)))(xr, xc, p)
+    go = jax.grad(loss_o, argnums=(0, 1, 2))(xr, xc, p)
+    y_k = jax.jit(
+        lambda xr, xc, p: scan_n1_dirs(xr, xc, **p, interpret=False)
+    )(xr, xc, p)
+    y_o = np.asarray(oracle(xr, xc, p))
+    # Scale-aware bounds: the kernel's dt matmuls round operands to
+    # bf16 (fp32 accumulate); vs the oracle's matmuls that compounds to
+    # ~3e-3 of tensor scale in the weight grads (measured 2.7e-3).
+    # The two miscompile classes this test guards against sat at
+    # ~2e-2 of scale (fwd) and ~3e-3 absolute at near-zero elements —
+    # both far above these bounds.
+    err = np.abs(np.asarray(y_k) - y_o).max()
+    assert err <= 1e-3 * np.abs(y_o).max() + 1e-4, f"fwd err {err}"
+    for a, b_ in zip(jax.tree_util.tree_leaves(gk),
+                     jax.tree_util.tree_leaves(go)):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        e = np.abs(a - b_).max()
+        bound = 5e-3 * np.abs(b_).max() + 1e-4
+        assert e <= bound, f"grad err {e} > {bound} (shape {a.shape})"
