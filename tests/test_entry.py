@@ -6,11 +6,14 @@ verbatim (VERDICT.md "What's missing" #1). These tests call the exact
 driver entry points.
 """
 
+import pytest
+
 import jax
 
 import __graft_entry__ as entrymod
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     # Verbatim driver call. Under the test conftest there are already 8
     # virtual CPU devices, so this runs inline; in a driver-like
@@ -18,6 +21,7 @@ def test_dryrun_multichip_8():
     entrymod.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_subprocess_bootstrap(monkeypatch):
     # Force the subprocess path even though 8 devices are available, to
     # cover the driver's actual code path (1 real chip).
@@ -31,6 +35,7 @@ def test_dryrun_multichip_subprocess_bootstrap(monkeypatch):
     entrymod.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_compiles_single_chip():
     fn, (params, batch) = entrymod.entry()
     loss = jax.jit(fn)(params, batch)

@@ -188,6 +188,7 @@ def test_incremental_seen_equals_sequence_formula():
     )
 
 
+@pytest.mark.slow
 def test_generate_positions_match_uncached_oracle():
     """Cached greedy decode must reproduce step-by-step UNCACHED full
     forwards (the oracle that caught the lp+t vs lp+t-1 RoPE position

@@ -87,6 +87,7 @@ def test_fit_ar_synthetic():
     assert out["loss"] > 0
 
 
+@pytest.mark.slow
 def test_fit_clip_synthetic():
     cfg = _base_cfg("clip", vision_size="base")
     cfg.model.vision_kwargs = dict(TINY_ARM)

@@ -59,6 +59,7 @@ def test_arm_registry():
     assert m.embed_dim == 768 and m.depth == 1
 
 
+@pytest.mark.slow
 def test_arm_gradients_finite():
     arm = ARM(
         patch_size=4, embed_dim=32, depth=1, d_state=4, scan_backend="ref",

@@ -126,6 +126,7 @@ def test_fused_chunked_matches_unchunked():
     )
 
 
+@pytest.mark.slow
 def test_mixer_fused_matches_ref_backend():
     """MambaMixer: fused path == per-direction ref path (v3, cls token)."""
     import flax.linen as nn  # noqa: F401
@@ -157,6 +158,7 @@ def test_mixer_fused_matches_ref_backend():
     )
 
 
+@pytest.mark.slow
 def test_ss2d_fused_matches_ref_backend():
     """SS2D: fused path (param-order permutation) == ref path."""
     from medical_image_analysis_tpu.models.vmamba import SS2D

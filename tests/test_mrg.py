@@ -48,6 +48,7 @@ def test_lm_cross_entropy_masking():
     np.testing.assert_allclose(float(loss), np.log(8), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_r2gengpt_loss_and_generate():
     m = R2GenGPT(llm_cfg=TINY_LLM, chosen="swin", vision_kwargs=SWIN_KW)
     batch = _batch()
@@ -73,6 +74,7 @@ def test_r2gengpt_qformer_projector():
     assert bool(jnp.isfinite(loss))
 
 
+@pytest.mark.slow
 def test_r2gencsr_context_path():
     m = R2GenCSR(llm_cfg=TINY_LLM, chosen="swin", vision_kwargs=SWIN_KW)
     batch = _batch()
@@ -92,6 +94,7 @@ def test_r2gencsr_context_path():
     assert out.shape == (2, 6)
 
 
+@pytest.mark.slow
 def test_r2gengpt_grad_flows_to_vision_and_proj():
     m = R2GenGPT(llm_cfg=TINY_LLM, chosen="swin", vision_kwargs=SWIN_KW)
     batch = _batch()

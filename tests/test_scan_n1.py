@@ -67,6 +67,7 @@ def test_fwd_parity(b, l, d, rank):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_grad_parity():
     xr, xc, p = _inputs(5, 21, 16, 3, seed=1)
     w = jnp.asarray(

@@ -75,6 +75,7 @@ def test_forward_grouped():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("groups", [1, 2])
 def test_gradients_match_ref(groups):
     key = jax.random.PRNGKey(2)

@@ -10,6 +10,7 @@ from medical_image_analysis_tpu.parallel.mesh import make_mesh
 from medical_image_analysis_tpu.parallel.sp_scan import selective_scan_sp
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("softplus", [True, False])
 def test_sp_scan_matches_ref(softplus):
     if len(jax.devices()) < 8:

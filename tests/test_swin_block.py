@@ -2,6 +2,8 @@
 unfused XLA path — both through the raw op and through the
 WindowAttention module (interpret mode off-TPU)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -92,6 +94,7 @@ def test_window_attention_module_fused_equals_unfused():
     )
 
 
+@pytest.mark.slow
 def test_swin_transformer_forward_and_grad_still_work():
     """Param tree unchanged (import-map names) and AD path green."""
     rng = jax.random.PRNGKey(0)

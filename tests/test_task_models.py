@@ -1,5 +1,7 @@
 """AM-MRG / R2GenKG / EMRRG / CLIP stage / classifiers (tiny, CPU)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,6 +40,7 @@ def _text(b=2):
     )
 
 
+@pytest.mark.slow
 def test_am_mrg():
     m = AMMRG(llm_cfg=TINY_LLM, arm_kwargs=ARM_KW, qformer_dim=16,
               qformer_width=24, qformer_layers=1, qformer_heads=4)
@@ -54,6 +57,7 @@ def test_am_mrg():
     assert out.shape == (2, 4)
 
 
+@pytest.mark.slow
 def test_r2gen_kg():
     m = R2GenKG(
         llm_cfg=TINY_LLM, chosen="swin",

@@ -1,5 +1,7 @@
 """AR-pretrain VisionMamba tests."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +30,7 @@ def test_cluster_causal_mask():
     assert m[0, 2] == -np.inf and m[2, 0] == 0.0 and m[0, 1] == 0.0
 
 
+@pytest.mark.slow
 def test_ar_pretrain_loss_and_grad():
     model = VisionMambaAR(
         patch_size=4, embed_dim=32, depth=2, dec_embed_dim=16, d_state=4,

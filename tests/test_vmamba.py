@@ -1,5 +1,7 @@
 """SS2D / VSSM backbone tests."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +9,7 @@ import numpy as np
 from medical_image_analysis_tpu.models.vmamba import SS2D, VSSBlock, VSSM
 
 
+@pytest.mark.slow
 def test_ss2d_pallas_matches_ref_backend():
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 6, 24))
     m_ref = SS2D(d_model=24, d_state=8, scan_backend="ref")
@@ -19,6 +22,7 @@ def test_ss2d_pallas_matches_ref_backend():
     assert y_ref.shape == x.shape
 
 
+@pytest.mark.slow
 def test_vssm_shapes_and_finite():
     m = VSSM(
         depths=(1, 1, 1, 1), dims=(16, 32, 64, 128), d_state=4,
