@@ -171,9 +171,14 @@ def model_times(batch, name, variant):
     )
     orig = vmamba.SS2D
     if variant not in ("baseline", "no_mlp"):
+        # The annotation is required: a bare class attribute does not
+        # override a dataclass field default (instances would silently
+        # keep variant="baseline").
         probe = type(
-            "ProbeSS2D", (ProbeSS2D,), {"variant": variant}
+            "ProbeSS2D", (ProbeSS2D,),
+            {"variant": variant, "__annotations__": {"variant": str}},
         )
+        assert probe(d_model=8).variant == variant
         vmamba.SS2D = probe
     try:
         params = model.init(jax.random.PRNGKey(0), x[:2])
