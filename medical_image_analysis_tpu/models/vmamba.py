@@ -100,18 +100,19 @@ class SS2D(nn.Module):
         if backend == "fused" and n == 1:
             # d_state=1 (every vssm1 nightly config, and the backbone
             # R2GenCSR actually loads — R2GenCSR.py:79): the batch-packed
-            # N=1 kernel runs the chain at full VPU width. Param order is
-            # already reference order [row, col, row-rev, col-rev].
-            from ..ops.scan_n1 import scan_n1_dirs
+            # N=1 kernel runs the chain at full VPU width, and the
+            # forward/reverse direction pairs merge inside the kernel
+            # (aliased accumulation), so only the two per-source sums
+            # cross the kernel boundary. Param order is already
+            # reference order [row, col, row-rev, col-rev].
+            from ..ops.scan_n1 import scan_n1_sources
 
             xr = xi.reshape(b, h * w, d_inner)
             xc = xi.transpose(0, 2, 1, 3).reshape(b, h * w, d_inner)
-            y_f = scan_n1_dirs(
+            y_row, y_col = scan_n1_sources(
                 xr, xc, x_proj_w, dt_proj_w, dt_bias, a, d_skip,
                 delta_softplus=True,
             )
-            y_row = y_f[:, 0] + y_f[:, 2]
-            y_col = y_f[:, 1] + y_f[:, 3]
             y_col = (
                 y_col.reshape(b, w, h, d_inner)
                 .transpose(0, 2, 1, 3)

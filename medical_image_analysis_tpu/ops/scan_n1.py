@@ -88,10 +88,14 @@ def _pick_chunk(seq_len: int) -> int:
 
 def _fwd_kernel(
     u_ref, xd_ref, wdt_ref, db_ref, a_ref, d_ref,
-    y_ref, car_ref,
-    h_ref,
-    *, chunk, rank, delta_softplus, reverse,
+    *rest,
+    chunk, rank, delta_softplus, reverse, accumulate=False,
 ):
+    if accumulate:
+        y_in_ref, y_ref, car_ref, h_ref = rest
+    else:
+        y_in_ref = None
+        y_ref, car_ref, h_ref = rest
     l = pl.program_id(2)
 
     @pl.when(l == 0)
@@ -134,15 +138,26 @@ def _fwd_kernel(
 
     hs = jnp.stack(hs)                            # (chunk, 8, bd)
     y = ct[:, :, None] * hs + d_ref[0, 0][None, None, :] * u
-    y_ref[0, 0] = y.astype(y_ref.dtype)
+    if accumulate:
+        # Per-source direction merge: this launch's output buffer IS the
+        # forward-direction launch's y (input_output_aliases), so the
+        # two directions of each source sum here instead of in XLA.
+        y_ref[0, 0] = y.astype(y_ref.dtype) + y_in_ref[0, 0]
+    else:
+        y_ref[0, 0] = y.astype(y_ref.dtype)
 
 
 def _bwd_kernel(
     u_ref, xd_ref, wdt_ref, db_ref, a_ref, d_ref, car_ref, dy_ref,
-    du_ref, dxd_ref, da_ref, dd_ref, ddb_ref, ddtw_ref,
-    g_ref,
-    *, chunk, rank, delta_softplus, reverse,
+    *rest,
+    chunk, rank, delta_softplus, reverse, accumulate=False,
 ):
+    if accumulate:
+        (du_in_ref, du_ref, dxd_ref, da_ref, dd_ref, ddb_ref,
+         ddtw_ref, g_ref) = rest
+    else:
+        du_in_ref = None
+        du_ref, dxd_ref, da_ref, dd_ref, ddb_ref, ddtw_ref, g_ref = rest
     l = pl.program_id(2)
 
     @pl.when(l == 0)
@@ -207,7 +222,12 @@ def _bwd_kernel(
     dloga = ps * hprevs * a
     ddt_tot = (dloga * a_vec + ps * u * bt[:, :, None]) * sig
     du = dt * bt[:, :, None] * ps + dy * dskip
-    du_ref[0, 0] = du.astype(du_ref.dtype)
+    if accumulate:
+        # u is shared by both direction launches of a source; the
+        # reverse launch's du buffer is aliased in, so du sums here.
+        du_ref[0, 0] = du.astype(du_ref.dtype) + du_in_ref[0, 0]
+    else:
+        du_ref[0, 0] = du.astype(du_ref.dtype)
 
     ddtr = jnp.dot(
         ddt_tot.reshape(chunk * 8, bd), wdt_ref[0].T,
@@ -250,6 +270,7 @@ def _scan_n1_core(
 def _fwd_call(
     u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec,
     delta_softplus, chunk, block_d, interpret, reverse,
+    y_init=None,
 ):
     # Pin operands to default layout (see scan_n1_dirs: XLA:TPU layout
     # assignment otherwise propagates producer-transpose layouts into
@@ -273,25 +294,33 @@ def _fwd_call(
     def wmap(i, d, l):
         return (i // bt, 0, d)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, chunk, 8, block_d), lmap),
+        pl.BlockSpec(
+            (1, 1, chunk, 8, c),
+            lambda i, d, l: (
+                i // bt, i % bt, nl - 1 - l if reverse else l, 0, 0
+            ),
+        ),
+        pl.BlockSpec((1, rank, block_d), lambda i, d, l: (i // bt, 0, d)),
+        pl.BlockSpec((1, 1, block_d), wmap),
+        pl.BlockSpec((1, 1, block_d), wmap),
+        pl.BlockSpec((1, 1, block_d), wmap),
+    ]
+    operands = [u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec]
+    aliases = {}
+    if y_init is not None:
+        in_specs.append(pl.BlockSpec((1, 1, chunk, 8, block_d), lmap))
+        operands.append(y_init)
+        aliases = {len(operands) - 1: 0}
     y, carries = pl.pallas_call(
         functools.partial(
             _fwd_kernel, chunk=chunk, rank=rank,
             delta_softplus=delta_softplus, reverse=reverse,
+            accumulate=y_init is not None,
         ),
         grid=(g, ndb, nl),
-        in_specs=[
-            pl.BlockSpec((1, 1, chunk, 8, block_d), lmap),
-            pl.BlockSpec(
-                (1, 1, chunk, 8, c),
-                lambda i, d, l: (
-                    i // bt, i % bt, nl - 1 - l if reverse else l, 0, 0
-                ),
-            ),
-            pl.BlockSpec((1, rank, block_d), lambda i, d, l: (i // bt, 0, d)),
-            pl.BlockSpec((1, 1, block_d), wmap),
-            pl.BlockSpec((1, 1, block_d), wmap),
-            pl.BlockSpec((1, 1, block_d), wmap),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, chunk, 8, block_d), lmap),
             pl.BlockSpec(
@@ -306,8 +335,9 @@ def _fwd_call(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        input_output_aliases=aliases,
         interpret=interpret,
-    )(u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec)
+    )(*operands)
     # Pin results before any consumer can impose a transpose layout.
     y, carries = jax.lax.optimization_barrier((y, carries))
     return y, carries
@@ -324,10 +354,11 @@ def _core_fwd(
     return y, (u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec, carries)
 
 
-def _core_bwd(
-    delta_softplus, chunk, block_d, interpret, reverse, res, dy,
+def _bwd_call(
+    u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec, carries, dy,
+    delta_softplus, chunk, block_d, interpret, reverse,
+    du_init=None,
 ):
-    u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec, carries = res
     # dy arrives through the merge's transpose VJPs; residuals may be
     # re-laid-out in the grad program. Pin everything (see _fwd_call).
     (u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec, carries, dy) = (
@@ -349,33 +380,43 @@ def _core_bwd(
     def wmap(i, d, l):
         return (i // bt, 0, d)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, chunk, 8, block_d), lmap),
+        pl.BlockSpec(
+            (1, 1, chunk, 8, c),
+            lambda i, d, l: (
+                i // bt, i % bt, l if reverse else nl - 1 - l, 0, 0
+            ),
+        ),
+        pl.BlockSpec((1, rank, block_d), lambda i, d, l: (i // bt, 0, d)),
+        pl.BlockSpec((1, 1, block_d), wmap),
+        pl.BlockSpec((1, 1, block_d), wmap),
+        pl.BlockSpec((1, 1, block_d), wmap),
+        # carries are indexed by SCAN-chunk number (fwd wrote them at
+        # grid step l = scan chunk l); this grid walks scan chunks
+        # in reverse, so the read index is nl-1-l for BOTH direction
+        # classes.
+        pl.BlockSpec(
+            (1, 1, 8, block_d), lambda i, d, l: (i, nl - 1 - l, 0, d)
+        ),
+        pl.BlockSpec((1, 1, chunk, 8, block_d), lmap),
+    ]
+    operands = [
+        u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec, carries, dy,
+    ]
+    aliases = {}
+    if du_init is not None:
+        in_specs.append(pl.BlockSpec((1, 1, chunk, 8, block_d), lmap))
+        operands.append(du_init)
+        aliases = {len(operands) - 1: 0}
     outs = pl.pallas_call(
         functools.partial(
             _bwd_kernel, chunk=chunk, rank=rank,
             delta_softplus=delta_softplus, reverse=reverse,
+            accumulate=du_init is not None,
         ),
         grid=(g, ndb, nl),
-        in_specs=[
-            pl.BlockSpec((1, 1, chunk, 8, block_d), lmap),
-            pl.BlockSpec(
-                (1, 1, chunk, 8, c),
-                lambda i, d, l: (
-                    i // bt, i % bt, l if reverse else nl - 1 - l, 0, 0
-                ),
-            ),
-            pl.BlockSpec((1, rank, block_d), lambda i, d, l: (i // bt, 0, d)),
-            pl.BlockSpec((1, 1, block_d), wmap),
-            pl.BlockSpec((1, 1, block_d), wmap),
-            pl.BlockSpec((1, 1, block_d), wmap),
-            # carries are indexed by SCAN-chunk number (fwd wrote them at
-            # grid step l = scan chunk l); this grid walks scan chunks
-            # in reverse, so the read index is nl-1-l for BOTH direction
-            # classes.
-            pl.BlockSpec(
-                (1, 1, 8, block_d), lambda i, d, l: (i, nl - 1 - l, 0, d)
-            ),
-            pl.BlockSpec((1, 1, chunk, 8, block_d), lmap),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, chunk, 8, block_d), lmap),
             pl.BlockSpec(
@@ -401,8 +442,9 @@ def _core_bwd(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        input_output_aliases=aliases,
         interpret=interpret,
-    )(u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec, carries, dy)
+    )(*operands)
 
     # Same default-layout pinning as the forward merge: du/dxdbl/ddtw
     # cotangents flow into transpose VJPs (of _to_tiles and the
@@ -422,7 +464,100 @@ def _core_bwd(
     return (du, dxdbl, ddtw, ddb, da.astype(a_vec.dtype), dd)
 
 
+def _core_bwd(
+    delta_softplus, chunk, block_d, interpret, reverse, res, dy,
+):
+    u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec, carries = res
+    return _bwd_call(
+        u_srt, xdbl, wdt_t, dt_bias, a_vec, d_vec, carries, dy,
+        delta_softplus, chunk, block_d, interpret, reverse,
+    )
+
+
 _scan_n1_core.defvjp(_core_fwd, _core_bwd)
+
+
+# --------------------------------------------------------------------------
+# Merged two-source core: one aliased output pair for all four directions
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _scan2_core(
+    u_srt, xd_f, xd_r, wdt_t, dt_bias, a_vec, d_vec,
+    delta_softplus, chunk, block_d, interpret,
+):
+    y, _, _ = _scan2_fwd_impl(
+        u_srt, xd_f, xd_r, wdt_t, dt_bias, a_vec, d_vec,
+        delta_softplus, chunk, block_d, interpret,
+    )
+    return y
+
+
+def _scan2_fwd_impl(
+    u_srt, xd_f, xd_r, wdt_t, dt_bias, a_vec, d_vec,
+    delta_softplus, chunk, block_d, interpret,
+):
+    """Two launches; the reverse pair accumulates onto the forward pair's
+    y via input_output_aliases, so y comes back per SOURCE (row, col)."""
+    y_f, car_f = _fwd_call(
+        u_srt, xd_f, wdt_t[0:2], dt_bias[0:2], a_vec[0:2], d_vec[0:2],
+        delta_softplus, chunk, block_d, interpret, False,
+    )
+    y, car_r = _fwd_call(
+        u_srt, xd_r, wdt_t[2:4], dt_bias[2:4], a_vec[2:4], d_vec[2:4],
+        delta_softplus, chunk, block_d, interpret, True,
+        y_init=y_f,
+    )
+    return y, car_f, car_r
+
+
+def _scan2_fwd(
+    u_srt, xd_f, xd_r, wdt_t, dt_bias, a_vec, d_vec,
+    delta_softplus, chunk, block_d, interpret,
+):
+    y, car_f, car_r = _scan2_fwd_impl(
+        u_srt, xd_f, xd_r, wdt_t, dt_bias, a_vec, d_vec,
+        delta_softplus, chunk, block_d, interpret,
+    )
+    res = (u_srt, xd_f, xd_r, wdt_t, dt_bias, a_vec, d_vec, car_f, car_r)
+    return y, res
+
+
+def _scan2_bwd(delta_softplus, chunk, block_d, interpret, res, dy):
+    u_srt, xd_f, xd_r, wdt_t, dt_bias, a_vec, d_vec, car_f, car_r = res
+    # y = y_fwd_pair + y_rev_pair, so the SAME dy feeds both backward
+    # launches; du accumulates across them through the alias.
+    du_r, dxd_r, ddtw_r, ddb_r, da_r, dd_r = _bwd_call(
+        u_srt, xd_r, wdt_t[2:4], dt_bias[2:4], a_vec[2:4], d_vec[2:4],
+        car_r, dy, delta_softplus, chunk, block_d, interpret, True,
+    )
+    du, dxd_f, ddtw_f, ddb_f, da_f, dd_f = _bwd_call(
+        u_srt, xd_f, wdt_t[0:2], dt_bias[0:2], a_vec[0:2], d_vec[0:2],
+        car_f, dy, delta_softplus, chunk, block_d, interpret, False,
+        du_init=du_r,
+    )
+    cat = jnp.concatenate
+    return (
+        du, dxd_f, dxd_r,
+        cat([ddtw_f, ddtw_r], axis=0),
+        cat([ddb_f, ddb_r], axis=0),
+        cat([da_f, da_r], axis=0),
+        cat([dd_f, dd_r], axis=0),
+    )
+
+
+def _scan2_core_fwd(
+    u_srt, xd_f, xd_r, wdt_t, dt_bias, a_vec, d_vec,
+    delta_softplus, chunk, block_d, interpret,
+):
+    return _scan2_fwd(
+        u_srt, xd_f, xd_r, wdt_t, dt_bias, a_vec, d_vec,
+        delta_softplus, chunk, block_d, interpret,
+    )
+
+
+_scan2_core.defvjp(_scan2_core_fwd, _scan2_bwd)
 
 
 # --------------------------------------------------------------------------
@@ -537,3 +672,91 @@ def scan_n1_dirs(
         axis=1,
     )                                                      # (B, 4, L, D)
     return y_all[:, :, :seq_len]
+
+
+def scan_n1_sources(
+    xr: jax.Array,
+    xc: jax.Array,
+    x_proj_w: jax.Array,
+    dt_proj_w: jax.Array,
+    dt_bias: jax.Array,
+    A: jax.Array,
+    D: jax.Array,
+    delta_softplus: bool = True,
+    chunk: int | None = None,
+    block_d: int | None = None,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Four-direction d_state=1 scan with the direction merge in-kernel.
+
+    Same math as ``scan_n1_dirs`` followed by ``y[:,0]+y[:,2]`` /
+    ``y[:,1]+y[:,3]``, but the reverse-direction launches accumulate
+    onto the forward launches' output buffers (``input_output_aliases``)
+    and share one cotangent per source, so the XLA integration around
+    the kernel shrinks from four direction tensors to two source
+    tensors.  Measured round 5 (tools/scan_bwd_decomp.py, B=128
+    vssm1_tiny): the per-direction wrapper paid 26.8 ms of standalone
+    tiling/merge VJP glue plus ~36 ms more in-model; this entry point
+    exists to remove most of it.
+
+    Returns:
+      (y_row, y_col): each (B, L, D); y_col is in column-major order
+      (caller transposes back, as with the per-direction wrapper).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    b, seq_len, d_in = xr.shape
+    rank = dt_proj_w.shape[-1]
+    if chunk is None:
+        chunk = _pick_chunk(seq_len)
+    if block_d is None:
+        block_d = _pick_block_d(d_in)
+    if not interpret:
+        block_d = max(block_d, 128)
+        chunk = max(chunk, 8)
+    bt = -(-b // 8)
+
+    a_vec = A.reshape(4, -1).astype(jnp.float32)
+    d_vec = D.astype(jnp.float32)
+    db = dt_bias.astype(jnp.float32)
+    wdt_t = dt_proj_w.astype(jnp.float32).transpose(0, 2, 1)
+
+    # x_dbl in the source dtype with fp32 accumulation: the fp32 buffer
+    # the kernel consumes is (B, L, R+2) — tiny — but casting the SOURCE
+    # to fp32 first (the per-direction wrapper's einsum) made the VJP
+    # materialize fp32 (B, L, D) pullbacks.  dot_general keeps the bf16
+    # operand and still accumulates fp32.
+    wx = x_proj_w.astype(xr.dtype)                         # (4, C, D)
+    srcs = (xr, xc, xr, xc)
+    x_dbl = [
+        jax.lax.dot_general(
+            srcs[k], wx[k], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for k in range(4)
+    ]                                                      # 4 x (B, L, C)
+
+    u_p = jnp.stack([_to_tiles(xr, bt), _to_tiles(xc, bt)], axis=0)
+    u_p = _pad_to(_pad_to(u_p, chunk, 2), block_d, 4)
+
+    def xd_pair(k0, k1):
+        return jnp.stack(
+            [
+                _pad_to(_to_tiles(x_dbl[k0], bt), chunk, 1),
+                _pad_to(_to_tiles(x_dbl[k1], bt), chunk, 1),
+            ],
+            axis=0,
+        )
+
+    y = _scan2_core(
+        u_p, xd_pair(0, 1), xd_pair(2, 3),
+        _pad_to(wdt_t, block_d, 2),
+        _pad_to(db, block_d, 1)[:, None, :],
+        _pad_to(a_vec, block_d, 1)[:, None, :],
+        _pad_to(d_vec, block_d, 1)[:, None, :],
+        delta_softplus, chunk, block_d, interpret,
+    )                                                      # (2,BT,Lp,8,Dp)
+    y = y[:, :, :, :, :d_in]
+    y_row = _from_tiles(y[0], b)[:, :seq_len]
+    y_col = _from_tiles(y[1], b)[:, :seq_len]
+    return y_row, y_col

@@ -100,3 +100,51 @@ def test_bf16_inputs_run():
                      **p, interpret=True)
     assert y.dtype == jnp.bfloat16
     assert bool(jnp.all(jnp.isfinite(y.astype(jnp.float32))))
+
+
+def test_sources_matches_dirs_fwd():
+    """scan_n1_sources = in-kernel direction merge of scan_n1_dirs."""
+    from medical_image_analysis_tpu.ops.scan_n1 import scan_n1_sources
+
+    xr, xc, p = _inputs(4, 33, 24, 3, seed=5)
+    y_k = scan_n1_dirs(xr, xc, **p, interpret=True)
+    y_row, y_col = scan_n1_sources(xr, xc, **p, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y_row), np.asarray(y_k[:, 0] + y_k[:, 2]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_col), np.asarray(y_k[:, 1] + y_k[:, 3]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_sources_grad_matches_dirs():
+    from medical_image_analysis_tpu.ops.scan_n1 import scan_n1_sources
+
+    xr, xc, p = _inputs(5, 21, 16, 3, seed=6)
+    rng = np.random.default_rng(7)
+    wr = jnp.asarray(rng.standard_normal((5, 21, 16)), jnp.float32)
+    wc = jnp.asarray(rng.standard_normal((5, 21, 16)), jnp.float32)
+
+    def loss_s(xr, xc, p):
+        y_row, y_col = scan_n1_sources(xr, xc, **p, interpret=True)
+        return jnp.sum(y_row * wr) + jnp.sum(y_col * wc)
+
+    def loss_d(xr, xc, p):
+        y = scan_n1_dirs(xr, xc, **p, interpret=True)
+        return jnp.sum((y[:, 0] + y[:, 2]) * wr) + jnp.sum(
+            (y[:, 1] + y[:, 3]) * wc
+        )
+
+    gs = jax.grad(loss_s, argnums=(0, 1, 2))(xr, xc, p)
+    gd = jax.grad(loss_d, argnums=(0, 1, 2))(xr, xc, p)
+    np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(gd[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(gd[1]),
+                               rtol=1e-4, atol=1e-4)
+    for key in gs[2]:
+        np.testing.assert_allclose(
+            np.asarray(gs[2][key]), np.asarray(gd[2][key]),
+            rtol=1e-4, atol=1e-4, err_msg=key,
+        )

@@ -241,3 +241,60 @@ def test_compiled_scan_n1_fwd_bwd_matches_oracle():
         e = np.abs(a - b_).max()
         bound = 5e-3 * np.abs(b_).max() + 1e-4
         assert e <= bound, f"grad err {e} > {bound} (shape {a.shape})"
+
+
+def test_compiled_scan_n1_sources_matches_dirs():
+    """The merged per-source entry point (scan_n1_sources: in-kernel
+    direction accumulation via input_output_aliases), COMPILED, fwd +
+    grads vs the per-direction kernel it replaces in SS2D.  Guards the
+    aliased-accumulation launches against the same layout-propagation
+    class the per-direction test pins."""
+    from medical_image_analysis_tpu.ops.scan_n1 import (
+        scan_n1_dirs, scan_n1_sources,
+    )
+
+    rng = np.random.default_rng(3)
+    b, l, d, rank = 8, 196, 128, 8
+
+    def f(*shape, scale=0.4):
+        return jnp.asarray(rng.standard_normal(shape) * scale, jnp.float32)
+
+    xr, xc = f(b, l, d), f(b, l, d)
+    p = dict(
+        x_proj_w=f(4, rank + 2, d),
+        dt_proj_w=f(4, d, rank),
+        dt_bias=f(4, d, scale=0.2),
+        A=-jnp.exp(f(4, d, 1, scale=0.3)),
+        D=f(4, d),
+    )
+    wr, wc = f(l, d), f(l, d)
+
+    def loss_s(xr, xc, p):
+        y_row, y_col = scan_n1_sources(xr, xc, **p, interpret=False)
+        return jnp.sum(y_row * wr) + jnp.sum(y_col * wc)
+
+    def loss_d(xr, xc, p):
+        y = scan_n1_dirs(xr, xc, **p, interpret=False)
+        return jnp.sum((y[:, 0] + y[:, 2]) * wr) + jnp.sum(
+            (y[:, 1] + y[:, 3]) * wc
+        )
+
+    ys = jax.jit(
+        lambda xr, xc, p: scan_n1_sources(xr, xc, **p, interpret=False)
+    )(xr, xc, p)
+    yd = jax.jit(
+        lambda xr, xc, p: scan_n1_dirs(xr, xc, **p, interpret=False)
+    )(xr, xc, p)
+    for got, want in ((ys[0], yd[:, 0] + yd[:, 2]),
+                      (ys[1], yd[:, 1] + yd[:, 3])):
+        e = np.abs(np.asarray(got) - np.asarray(want)).max()
+        bound = 1e-3 * np.abs(np.asarray(want)).max() + 1e-4
+        assert e <= bound, f"fwd err {e} > {bound}"
+    gs = jax.jit(jax.grad(loss_s, argnums=(0, 1, 2)))(xr, xc, p)
+    gd = jax.jit(jax.grad(loss_d, argnums=(0, 1, 2)))(xr, xc, p)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gs),
+                     jax.tree_util.tree_leaves(gd)):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        e = np.abs(a - b_).max()
+        bound = 3e-3 * np.abs(b_).max() + 1e-4
+        assert e <= bound, f"grad err {e} > {bound} (shape {a.shape})"
